@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling-efficiency evidence (north rule: ≥0.8 from N to
+4N executors; sandbox proxy per BASELINE.md: the same build at local[8] vs
+local[32] on the same input).
+
+Runs the full index build (tokenize → postings → stats → compressed
+blocks) in two *separate* Spark sessions (fresh JVM each, via subprocess so
+JVM/GC state can't leak between runs), reports docs/sec at both levels and
+
+    efficiency = (T_N / T_4N) / (M/N)    where M = 4N cores
+
+Writes BENCH/scaling_result.json and a markdown row for BENCH/BASELINE.md.
+
+Usage:  python BENCH/scaling.py [--input DIR_OR_PARQUET] [--n 8] [--m 32]
+        [--docs 120000]  (synthesizes a corpus if --input is omitted)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from docs_indexer_spark.session import get_spark
+from docs_indexer_spark.operators import spimi
+from docs_indexer_spark.operators.postings import (
+    corpus_stats, df_stats, doc_lengths, token_postings, with_tokens)
+
+spark = get_spark(master="local[{cores}]", shuffle_partitions={shuffle})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({input!r})
+docs.count()  # warm the scan; we time compute, not first-touch page cache
+t0 = time.time()
+toks = with_tokens(docs, "text", "english").select("doc_id", "tokens")
+postings = token_postings(toks)
+doclens = doc_lengths(toks)
+n, avgdl = corpus_stats(doclens)
+dfs = df_stats(postings)
+mx = int(doclens.agg(F.max("doc_id")).collect()[0][0])
+blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, mx)
+blocks.write.mode("overwrite").format("noop").save()
+dt = time.time() - t0
+print(json.dumps({{"cores": {cores}, "sec": dt, "n_docs": n,
+                   "docs_per_sec": n / dt}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, input_path: str) -> dict:
+    code = RUN_SNIPPET.format(
+        repo=REPO, cores=cores, shuffle=max(2 * cores, 16), input=input_path
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def synthesize(n_docs: int) -> str:
+    path = os.path.join(tempfile.gettempdir(), f"graft_bench_corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from docs_indexer_spark.session import get_spark\n"
+        "from docs_indexer_spark.sources.corpus import generate_corpus\n"
+        "spark = get_spark(master='local[32]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"df = generate_corpus(spark, {n_docs})\n"
+        "from pyspark.sql import functions as F\n"
+        "df = df.withColumn('doc_id', F.xxhash64('url'))\n"
+        f"df.write.mode('overwrite').parquet({path!r})\n"
+        "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=120_000)
+    args = ap.parse_args()
+
+    input_path = args.input or synthesize(args.docs)
+    print(f"# input: {input_path}", file=sys.stderr)
+
+    low = run_at(args.n, input_path)
+    high = run_at(args.m, input_path)
+    speedup = low["sec"] / high["sec"]
+    efficiency = speedup / (args.m / args.n)
+    result = {
+        "input": input_path,
+        "n_docs": low["n_docs"],
+        "low": low,
+        "high": high,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS].  ``value`` is the total wall-clock of the
+query set; ``queries`` carries per-query seconds plus two index-build
+throughput entries used for the N-vs-4N scaling-efficiency evidence
+(BENCH/BASELINE.md):
+
+    index_build_docs_per_sec   at local[$SPARK_GRAFT_CPUS]
+    (run BENCH/scaling.py for the two-parallelism comparison)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from docs_indexer_spark.operators import spimi  # noqa: E402
+from docs_indexer_spark.operators.postings import (  # noqa: E402
+    corpus_stats,
+    df_stats,
+    doc_lengths,
+    token_postings,
+    with_tokens,
+)
+from docs_indexer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "bm25_topk",
+    "bm25_wand_topk",
+    "term_df_topn",
+    "bigram_counts",
+    "keyword_filter_facet",
+    "date_range_agg",
+    "upsert_latest",
+    "join_default",
+    "exact_dedup",
+    "token_count_topn",
+    "lang_id_confusion",
+    "ann_cosine_topk",
+    "minhash_lsh_pairs",
+    "simhash_near_dups",
+]
+
+
+def time_index_build(spark, sf_dir: str) -> tuple[float, int]:
+    """Full english-chain index build (tokenize → postings → stats →
+    compressed blocks) over the documents table; returns (sec, n_docs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    toks = with_tokens(docs, "text", "english").select("doc_id", "tokens")
+    postings = token_postings(toks)
+    doclens = doc_lengths(toks)
+    n, avgdl = corpus_stats(doclens)
+    dfs = df_stats(postings)
+    max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])
+    blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, max_doc_id)
+    blocks.write.mode("overwrite").format("noop").save()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="docs-indexer-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    build_sec, n_docs = time_index_build(spark, SF_DIR)
+    per_query["index_build_sec"] = round(build_sec, 3)
+    per_query["index_build_docs_per_sec"] = round(n_docs / build_sec, 1)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query set wall-clock + index-build throughput",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Markdown → plain-text extraction.
+
+Reproduces the semantics of the reference's ``markdown_to_text``
+(/root/reference/hugo.py:244-261):
+
+    markdown_text = SHORTCODE_RE.sub("", markdown_text)   # hugo.py:57,249
+    html = markdown(markdown_text,
+                    extensions=["fenced_code", "tables", "attr_list"])
+    text = html2text(html)
+
+The behavior-bearing extension list (documented at hugo.py:251-258 and
+pinned by the reference's own tests /root/reference/hugo_test.py:42-89):
+
+- ``fenced_code``: a language hint (```nohighlight) becomes a CSS class on
+  the <code> element — it must NOT leak into the text; fence content must
+  survive.
+- ``tables``: pipe/dash separators must NOT leak; cell contents must survive.
+- ``attr_list``: heading anchors (## Title {#id}) become id attributes —
+  the {#...} must NOT leak.
+- Hugo shortcodes ({{< tabs >}} / {{% steps %}}, opening + closing +
+  parameterized) are stripped before conversion; wrapped content is kept.
+
+The ``markdown`` package is not installable in this environment, so this
+module implements the markdown→HTML subset the reference exercises (block
+structure, fenced code, tables, ATX headings with attr_list anchors, lists,
+blockquotes, inline emphasis/code/links/images) with python-markdown's
+serialization conventions (blocks joined by "\n", fence content keeps its
+trailing newline inside <code>), then reuses :func:`html2text` — the same
+two-stage pipeline as the reference.  Byte-identity is asserted against the
+reference's checked-in test expectations, not a live ``markdown`` run.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+from docs_indexer_spark.extraction.html_text import html2text
+
+# Matches Hugo shortcode tags in both delimiter styles: {{< ... >}} and
+# {{% ... %}}, including opening, closing (with leading /) and parameterized
+# forms. Only the tag itself is matched, so wrapped content is kept.
+# Identical regex semantics to /root/reference/hugo.py:57.
+SHORTCODE_RE = re.compile(r"\{\{[<%]/?.*?[%>]\}\}")
+
+_FENCE_OPEN_RE = re.compile(r"^(`{3,}|~{3,})\s*([A-Za-z0-9_+\-.]*)\s*$")
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)(?:\s+#+)?\s*$")
+_ATTR_LIST_RE = re.compile(r"\s*\{[:#.][^{}]*\}\s*$")
+_TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?\s*$")
+_UL_ITEM_RE = re.compile(r"^[*+-]\s+(.*)$")
+_OL_ITEM_RE = re.compile(r"^\d+\.\s+(.*)$")
+
+_CODE_SPAN_RE = re.compile(r"`([^`]+)`")
+_IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^)]*)\)")
+_LINK_RE = re.compile(r"\[([^\]]+)\]\(([^)]*)\)")
+_STRONG_RE = re.compile(r"\*\*([^*]+)\*\*|__([^_]+)__")
+_EM_RE = re.compile(r"\*([^*]+)\*|\b_([^_]+)_\b")
+
+
+def strip_shortcodes(text: str) -> str:
+    """Remove Hugo shortcode tags, keeping wrapped content.
+
+    Reference: /root/reference/hugo.py:54-57,249.
+    """
+    return SHORTCODE_RE.sub("", text)
+
+
+def _inline(text: str) -> str:
+    """Inline markdown → HTML (code spans, images, links, strong, em)."""
+    out = _html.escape(text, quote=False)
+    out = _CODE_SPAN_RE.sub(lambda m: f"<code>{m.group(1)}</code>", out)
+    out = _IMG_RE.sub(lambda m: f'<img alt="{m.group(1)}" src="{m.group(2)}" />', out)
+    out = _LINK_RE.sub(lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>', out)
+    out = _STRONG_RE.sub(lambda m: f"<strong>{m.group(1) or m.group(2)}</strong>", out)
+    out = _EM_RE.sub(lambda m: f"<em>{m.group(1) or m.group(2)}</em>", out)
+    return out
+
+
+def _table_html(lines: list[str]) -> str:
+    def cells(line: str) -> list[str]:
+        line = line.strip()
+        if line.startswith("|"):
+            line = line[1:]
+        if line.endswith("|"):
+            line = line[:-1]
+        return [c.strip() for c in line.split("|")]
+
+    head = cells(lines[0])
+    rows = [cells(ln) for ln in lines[2:]]
+    parts = ["<table>", "<thead>", "<tr>"]
+    parts += [f"<th>{_inline(c)}</th>" for c in head]
+    parts += ["</tr>", "</thead>", "<tbody>"]
+    for row in rows:
+        parts.append("<tr>")
+        parts += [f"<td>{_inline(c)}</td>" for c in row]
+        parts.append("</tr>")
+    parts += ["</tbody>", "</table>"]
+    return "\n".join(parts)
+
+
+def markdown_to_html(markdown_text: str) -> str:
+    """Markdown → HTML with fenced_code / tables / attr_list semantics."""
+    lines = markdown_text.split("\n")
+    blocks: list[str] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        if not line.strip():
+            i += 1
+            continue
+
+        fence = _FENCE_OPEN_RE.match(line)
+        if fence:
+            marker, lang = fence.group(1), fence.group(2)
+            body: list[str] = []
+            i += 1
+            while i < n and not lines[i].rstrip().startswith(marker[0] * 3):
+                body.append(lines[i])
+                i += 1
+            i += 1  # skip closing fence
+            code = _html.escape("\n".join(body), quote=False)
+            cls = f' class="language-{lang}"' if lang else ""
+            blocks.append(f"<pre><code{cls}>{code}\n</code></pre>")
+            continue
+
+        heading = _HEADING_RE.match(line)
+        if heading:
+            level = len(heading.group(1))
+            text = heading.group(2)
+            anchor = _ATTR_LIST_RE.search(text)
+            attr = ""
+            if anchor:
+                spec = anchor.group(0).strip()[1:-1].strip()
+                text = text[: anchor.start()].rstrip()
+                if spec.startswith("#"):
+                    attr = f' id="{spec[1:]}"'
+            blocks.append(f"<h{level}{attr}>{_inline(text)}</h{level}>")
+            i += 1
+            continue
+
+        # table: header row containing '|' followed by a separator row
+        if "|" in line and i + 1 < n and _TABLE_SEP_RE.match(lines[i + 1]):
+            tbl = [line, lines[i + 1]]
+            i += 2
+            while i < n and "|" in lines[i] and lines[i].strip():
+                tbl.append(lines[i])
+                i += 1
+            blocks.append(_table_html(tbl))
+            continue
+
+        if _UL_ITEM_RE.match(line) or _OL_ITEM_RE.match(line):
+            ordered = bool(_OL_ITEM_RE.match(line))
+            item_re = _OL_ITEM_RE if ordered else _UL_ITEM_RE
+            tag = "ol" if ordered else "ul"
+            items: list[str] = []
+            while i < n:
+                m = item_re.match(lines[i])
+                if not m:
+                    break
+                items.append(f"<li>{_inline(m.group(1))}</li>")
+                i += 1
+            blocks.append(f"<{tag}>\n" + "\n".join(items) + f"\n</{tag}>")
+            continue
+
+        if line.lstrip().startswith(">"):
+            quoted: list[str] = []
+            while i < n and lines[i].lstrip().startswith(">"):
+                quoted.append(lines[i].lstrip()[1:].lstrip())
+                i += 1
+            inner = "\n".join(quoted)
+            blocks.append(
+                "<blockquote>\n<p>" + _inline(inner) + "</p>\n</blockquote>"
+            )
+            continue
+
+        # paragraph: consume until blank line / structural marker
+        para: list[str] = [line]
+        i += 1
+        while i < n and lines[i].strip():
+            nxt = lines[i]
+            if (
+                _FENCE_OPEN_RE.match(nxt)
+                or _HEADING_RE.match(nxt)
+                or _UL_ITEM_RE.match(nxt)
+                or _OL_ITEM_RE.match(nxt)
+            ):
+                break
+            para.append(nxt)
+            i += 1
+        blocks.append("<p>" + _inline("\n".join(para)) + "</p>")
+
+    return "\n".join(blocks)
+
+
+def markdown_to_text(markdown_text: str) -> str:
+    """Markdown → plain text; expects markdown unicode.
+
+    Reference: /root/reference/hugo.py:244-261 (shortcode strip →
+    markdown() → html2text).
+    """
+    markdown_text = strip_shortcodes(markdown_text)
+    html = markdown_to_html(markdown_text)
+    return html2text(html)

@@ -1,0 +1,179 @@
+"""Porter stemming algorithm (M.F. Porter, 1980) — pure Python.
+
+Implements the original published algorithm ("An algorithm for suffix
+stripping", Program 14(3):130-137), which is what Lucene's
+``PorterStemFilter`` (used by the ``english`` analyzer the reference
+configures at /root/reference/mappings/hugo.json:7,49,61) runs after
+possessive-stripping and stopword removal.
+
+This implementation follows the algorithm definition step by step; it is
+deliberately dependency-free so the exact same function object can be used
+in (a) the Spark pandas-UDF analysis chain and (b) the single-process
+oracle engine — rank-identity between the two then cannot be broken by
+stemmer drift.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_consonant(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_consonant(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m(): number of VC sequences in the stem."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_consonant(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_consonant(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_consonant(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_consonant(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if (
+        _is_consonant(word, len(word) - 3)
+        and not _is_consonant(word, len(word) - 2)
+        and _is_consonant(word, len(word) - 1)
+    ):
+        return word[-1] not in "wxy"
+    return False
+
+
+def _replace(word: str, suffix: str, replacement: str) -> str:
+    return word[: len(word) - len(suffix)] + replacement
+
+
+def _step1a(w: str) -> str:
+    if w.endswith("sses"):
+        return _replace(w, "sses", "ss")
+    if w.endswith("ies"):
+        return _replace(w, "ies", "i")
+    if w.endswith("ss"):
+        return w
+    if w.endswith("s"):
+        return w[:-1]
+    return w
+
+
+def _step1b(w: str) -> str:
+    if w.endswith("eed"):
+        stem = w[:-3]
+        if _measure(stem) > 0:
+            return stem + "ee"
+        return w
+    flag = False
+    if w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        flag = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            return w + "e"
+        if _ends_double_consonant(w) and w[-1] not in "lsz":
+            return w[:-1]
+        if _measure(w) == 1 and _ends_cvc(w):
+            return w + "e"
+    return w
+
+
+def _step1c(w: str) -> str:
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        return w[:-1] + "i"
+    return w
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def _rule_list(w: str, rules: list[tuple[str, str]], min_measure: int) -> str:
+    for suffix, repl in rules:
+        if w.endswith(suffix):
+            stem = w[: len(w) - len(suffix)]
+            if _measure(stem) > min_measure - 1:
+                return stem + repl
+            return w
+    return w
+
+
+def _step4(w: str) -> str:
+    for suffix in _STEP4:
+        if w.endswith(suffix):
+            stem = w[: len(w) - len(suffix)]
+            if suffix == "ion" and (not stem or stem[-1] not in "st"):
+                return w
+            if _measure(stem) > 1:
+                return stem
+            return w
+    return w
+
+
+def _step5a(w: str) -> str:
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            return stem
+    return w
+
+
+def _step5b(w: str) -> str:
+    if w.endswith("ll") and _measure(w) > 1:
+        return w[:-1]
+    return w
+
+
+def porter_stem(word: str) -> str:
+    """Stem one lowercase word with the original Porter algorithm."""
+    if len(word) <= 2:
+        return word
+    w = _step1a(word)
+    w = _step1b(w)
+    w = _step1c(w)
+    w = _rule_list(w, _STEP2, 1)
+    w = _rule_list(w, _STEP3, 1)
+    w = _step4(w)
+    w = _step5a(w)
+    w = _step5b(w)
+    return w

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything here is a native Column expression (whole-stage codegen, no
+Python in the hot path) and has an exact ANSI-SQL twin for the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docs_indexer_spark.functions.analysis import ENGLISH_STOPWORDS
+
+# tiny per-language stopword marker sets for the n-gram/stopword-hit
+# language heuristic — deliberately small and public-knowledge words.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "mit"),
+    "es": ("el", "la", "los", "que", "es", "con"),
+    "fr": ("le", "la", "les", "est", "avec", "des"),
+    "pt": ("o", "os", "da", "que", "com", "uma"),
+    "nl": ("de", "het", "een", "en", "met", "voor"),
+}
+
+
+def token_count_col(text_col):
+    """Whitespace-ish token count (simple chain) — native."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    return F.size(tokens_col(text_col))
+
+
+def char_count_col(text_col):
+    return F.length(F.coalesce(F.col(text_col), F.lit("")))
+
+
+def punct_ratio_col(text_col):
+    """share of non-alphanumeric, non-space characters."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(text_col):
+    """share of simple-chain tokens that are english stopwords."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOPWORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n = F.size(toks)
+    return F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len_col(text_col):
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(text_col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score_col(text_col, min_tokens: int = 20):
+    """Composite heuristic quality score in [0,1]: length factor ×
+    (1 - punct ratio) × alpha ratio.  Deterministic, SQL-twin-able."""
+    n = token_count_col(text_col)
+    length_factor = F.least(n.cast("double") / F.lit(float(min_tokens)), F.lit(1.0))
+    return F.round(
+        length_factor * (1.0 - punct_ratio_col(text_col)), 6
+    )
+
+
+def lang_id_col(text_col):
+    """Stopword-marker language heuristic: predicted = argmax over
+    languages of marker hits in the token set; 'und' when no marker hits.
+
+    Native: one token-array scan per language, greatest/when chain for the
+    argmax (ties break by language-code order, pinned in the SQL twin too).
+    """
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append((lang, hits))
+    best = None
+    for lang, hits in scores:
+        if best is None:
+            best = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        else:
+            # strictly-greater keeps the earlier (alphabetical) lang on ties
+            cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+            best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_col(text_col, window: int = 8):
+    """Document fingerprint: xxhash64 of the simple-chain token stream —
+    a stable 64-bit content id (rolling-hash-style winnowing reduces to
+    this single-window form when window ≥ doc length; at scale combine
+    with `word_shingles` + min-hash for locality)."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    return F.xxhash64(F.array_join(tokens_col(text_col), " "))

@@ -1,0 +1,130 @@
+"""Okapi/Lucene BM25 exact scoring + distributed top-k (SURVEY.md §2 B7/B8).
+
+Two scoring paths, both exact:
+
+- :func:`score_from_tokens` — pure-DataFrame plan over the uncompressed
+  (term, doc_id, tf) postings relation.  100% native expressions: filter on
+  query terms (pushes down to the postings scan), broadcast the per-term
+  idf (query terms only — tiny), native arithmetic, hash-aggregate sum,
+  ``orderBy(...).limit(k)`` which Catalyst executes as
+  TakeOrderedAndProject (per-partition heap top-k + driver merge — no
+  global sort, no full shuffle).
+- :func:`score_from_blocks` — decodes the compressed posting blocks
+  (operators/spimi.py) with a vectorized mapInPandas and feeds the same
+  aggregate.  Used to cross-check the compressed index and as the exact
+  fallback for block-max WAND (operators/wand.py).
+
+Tie-break pinned everywhere: score DESC, doc_id ASC.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docs_indexer_spark.config import BM25Params, DEFAULT_TOP_K
+from docs_indexer_spark.operators.compression import (
+    decode_tf_norms,
+    delta_decode_doc_ids,
+)
+from docs_indexer_spark.operators.postings import idf_col
+
+
+def score_from_tokens(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: Iterable[str],
+    params: BM25Params = BM25Params(),
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Exact BM25 top-k from the uncompressed postings relation.
+
+    Plan shape: postings filtered by `term IN (...)` (partition/row-group
+    pruning on a term-sorted store) → join doc lengths on doc_id → per-term
+    df over the *filtered* postings (tiny) joined back broadcast → native
+    score expression → groupBy(doc_id).sum → TakeOrderedAndProject(k).
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    hits = postings.filter(F.col("term").isin(terms))
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfs), "term")
+        .join(doclens, "doc_id")
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+        .withColumn(
+            "tfn",
+            F.col("tf")
+            / (
+                F.col("tf")
+                + params.k1
+                * (1.0 - params.b + params.b * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tfn")).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def decode_blocks_iter(
+    block_batches: Iterator[pd.DataFrame], idf: Mapping[str, float]
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: compressed blocks → (doc_id, partial score)."""
+    for pdf in block_batches:
+        if pdf.empty:
+            continue
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for term, ids_bin, norms_bin in zip(
+            pdf["term"].values, pdf["doc_ids_bin"].values, pdf["tf_norms_bin"].values
+        ):
+            w = idf.get(term)
+            if not w:
+                continue
+            ids = delta_decode_doc_ids(ids_bin)
+            norms = decode_tf_norms(norms_bin, len(ids)).astype(np.float64)
+            out_ids.append(ids)
+            out_scores.append(norms * w)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_ids),
+                    "partial": np.concatenate(out_scores),
+                }
+            )
+
+
+def score_from_blocks(
+    blocks: DataFrame,
+    idf: Mapping[str, float],
+    query_terms: Iterable[str],
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Exact BM25 top-k from the compressed block index.
+
+    The `term IN (...)` filter prunes row groups before any decode; decode
+    is vectorized numpy inside mapInPandas; the final aggregate + top-k is
+    native.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
+    hit_blocks = blocks.filter(F.col("term").isin(terms)).select(
+        "term", "doc_ids_bin", "tf_norms_bin"
+    )
+    partials = hit_blocks.mapInPandas(
+        lambda it: decode_blocks_iter(it, idf),
+        schema="doc_id long, partial double",
+    )
+    scored = partials.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,226 @@
+"""Block-max WAND top-k over the compressed block index (SURVEY.md §2 C3).
+
+Distribution strategy: the block index is bucketed by disjoint doc_id
+RANGES (operators/spimi.py), so the doc space is partitioned — running
+block-max WAND independently per bucket and merging the per-bucket top-k
+lists is exact.  The per-bucket WAND runs inside applyInPandas (numpy block
+decode, pointer walk in Python over ≤ |query terms| lists); the global
+merge is Catalyst's TakeOrderedAndProject.
+
+Algorithm: Ding & Suel, "Faster top-k document retrieval using block-max
+indexes", SIGIR 2011.  Upper bounds use the suffix-max of block max-scores
+(monotone non-increasing as a list advances); the pivot test uses ``>=``
+against the heap threshold so score-ties are still scored and the pinned
+tie-break (score DESC, doc_id ASC) stays exact versus the exact scorer.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterable, Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docs_indexer_spark.config import DEFAULT_TOP_K
+from docs_indexer_spark.operators.compression import (
+    decode_tf_norms,
+    delta_decode_doc_ids,
+)
+
+_EXHAUSTED = np.iinfo(np.int64).max
+
+
+class _TermList:
+    """Cursor over one term's blocks within a bucket (doc_id-sorted)."""
+
+    __slots__ = ("idf", "firsts", "lasts", "maxes", "ids_bins", "norms_bins",
+                 "suffix_max", "bi", "pos", "ids", "scores", "n_blocks")
+
+    def __init__(self, blocks: pd.DataFrame, idf: float) -> None:
+        blocks = blocks.sort_values(["bucket", "block_seq"])
+        self.idf = idf
+        self.firsts = blocks["first_doc_id"].values.astype(np.int64)
+        self.lasts = blocks["last_doc_id"].values.astype(np.int64)
+        self.maxes = blocks["max_score"].values.astype(np.float64)
+        self.ids_bins = blocks["doc_ids_bin"].values
+        self.norms_bins = blocks["tf_norms_bin"].values
+        self.n_blocks = len(self.firsts)
+        # suffix max of block max-scores: upper bound on any remaining doc
+        self.suffix_max = np.maximum.accumulate(self.maxes[::-1])[::-1]
+        self.bi = 0
+        self._load()
+
+    def _load(self) -> None:
+        if self.bi >= self.n_blocks:
+            self.ids = np.array([_EXHAUSTED], dtype=np.int64)
+            self.scores = np.zeros(1)
+            self.pos = 0
+            return
+        self.ids = delta_decode_doc_ids(self.ids_bins[self.bi])
+        self.scores = (
+            decode_tf_norms(self.norms_bins[self.bi], len(self.ids)).astype(np.float64)
+            * self.idf
+        )
+        self.pos = 0
+
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= self.n_blocks
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.ids[self.pos])
+
+    @property
+    def cur_score(self) -> float:
+        return float(self.scores[self.pos])
+
+    def upper(self) -> float:
+        """Max possible contribution from the current position onward."""
+        if self.exhausted:
+            return 0.0
+        return float(self.suffix_max[self.bi])
+
+    def block_max_at(self, doc: int) -> float:
+        """max_score of the block that covers/follows `doc` (≥ cur pos)."""
+        bi = self.bi
+        while bi < self.n_blocks and self.lasts[bi] < doc:
+            bi += 1
+        if bi >= self.n_blocks:
+            return 0.0
+        return float(self.maxes[bi])
+
+    def block_last_at(self, doc: int) -> int:
+        bi = self.bi
+        while bi < self.n_blocks and self.lasts[bi] < doc:
+            bi += 1
+        if bi >= self.n_blocks:
+            return _EXHAUSTED
+        return int(self.lasts[bi])
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self.bi += 1
+            self._load()
+
+    def next_geq(self, target: int) -> None:
+        """Skip to the first posting with doc_id >= target (block skipping
+        via metadata — undecoded blocks are jumped, not decoded)."""
+        if self.exhausted:
+            return
+        if self.ids[-1] < target:  # beyond current block
+            bi = self.bi + 1
+            while bi < self.n_blocks and self.lasts[bi] < target:
+                bi += 1
+            self.bi = bi
+            self._load()
+            if self.exhausted:
+                return
+        self.pos += int(np.searchsorted(self.ids[self.pos:], target, side="left"))
+        if self.pos >= len(self.ids):
+            self.bi += 1
+            self._load()
+
+
+def wand_topk_lists(
+    term_blocks: dict[str, pd.DataFrame],
+    idf: Mapping[str, float],
+    k: int,
+) -> list[tuple[int, float]]:
+    """Run block-max WAND over per-term block tables; returns
+    [(doc_id, score)] sorted by (score desc, doc_id asc)."""
+    lists = [
+        _TermList(blocks, idf[t])
+        for t, blocks in term_blocks.items()
+        if idf.get(t) and len(blocks)
+    ]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    while True:
+        active = [l for l in lists if not l.exhausted]
+        if not active:
+            break
+        active.sort(key=lambda l: l.cur_doc)
+        th = theta()
+        acc = 0.0
+        pivot = -1
+        for i, lst in enumerate(active):
+            acc += lst.upper()
+            if acc >= th and acc > 0.0:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = active[pivot].cur_doc
+        if pivot_doc == _EXHAUSTED:
+            break
+        # block-max refinement (Ding & Suel): tighter bound from the blocks
+        # that actually cover pivot_doc
+        block_sum = sum(l.block_max_at(pivot_doc) for l in active[: pivot + 1])
+        if block_sum < th:
+            # shallow skip: jump past the nearest block boundary
+            boundary = min(
+                l.block_last_at(pivot_doc) for l in active[: pivot + 1]
+            )
+            target = max(boundary + 1, pivot_doc + 1)
+            # advance the list with the largest upper bound (fewest decodes)
+            mover = max(active[: pivot + 1], key=lambda l: l.upper())
+            mover.next_geq(target)
+            continue
+        if active[0].cur_doc == pivot_doc:
+            # full evaluation: every list at pivot_doc contributes
+            score = 0.0
+            for lst in active:
+                if lst.cur_doc == pivot_doc:
+                    score += lst.cur_score
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            for lst in active:
+                if lst.cur_doc == pivot_doc:
+                    lst.advance()
+        else:
+            mover = max(active[:pivot], key=lambda l: l.upper())
+            mover.next_geq(pivot_doc)
+
+    out = [(-nd, s) for (s, nd) in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def wand_topk(
+    blocks: DataFrame,
+    idf: Mapping[str, float],
+    query_terms: Iterable[str],
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Distributed block-max WAND: per-bucket WAND (exact within the
+    bucket's doc range) → global TakeOrderedAndProject(k)."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
+    hit = blocks.filter(F.col("term").isin(terms)).select(
+        "term", "bucket", "block_seq", "first_doc_id", "last_doc_id",
+        "max_score", "doc_ids_bin", "tf_norms_bin",
+    )
+
+    def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = {t: g for t, g in pdf.groupby("term")}
+        top = wand_topk_lists(groups, idf, k)
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    local = hit.groupBy("bucket").applyInPandas(
+        _per_bucket, schema="doc_id long, score double"
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

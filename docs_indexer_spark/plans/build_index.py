@@ -1,0 +1,157 @@
+"""End-to-end index build: resumable, checkpointed, atomically published.
+
+Two-stage SPIMI structure (Manning/Raghavan/Schütze IIR ch.4), mapped onto
+the resumability requirements (north-rule C4, reference A18/A19):
+
+STAGE 1 — per-build-partition, RESUMABLE (the expensive pass):
+    docs slice → extract text (pandas UDF if only html present)
+              → upsert dedup by doc_id (last write per url wins — the
+                reference's es.index(id=…) semantics, hugo.py:350-353)
+              → tokenize → local postings (term, doc_id, tf) + doclens
+              → staged parquet per partition + lineage checkpoint
+    A re-run with the same input fingerprint skips partitions whose
+    checkpoint says done — the distributed generalization of the
+    reference's check_index gate (hugo.py:378-385).
+
+STAGE 2 — global merge, cheap relative to stage 1, idempotent:
+    staged partials → N/avgdl/df_stats → salted bucketed block build
+    (operators/spimi.py) → generation directory → ATOMIC publish
+    (catalog pointer swap = the reference's alias swap, hugo.py:465-483).
+
+Scale notes: stage 1's unit of restart is a build partition (a hash slice
+of urls), sized so one slice ≈ one executor-wave of work; at 1000
+executors you'd run ~100 slices of ~1 TB.  Stage 2 shuffles (term, bucket)
+— the salt bounds the head-term task; everything else is map-side.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from docs_indexer_spark.config import BM25Params, DEFAULT_BUCKETS
+from docs_indexer_spark.extraction.udfs import html2text_udf
+from docs_indexer_spark.operators import spimi
+from docs_indexer_spark.operators.postings import (
+    corpus_stats,
+    df_stats,
+    doc_lengths,
+    token_postings,
+    with_tokens,
+)
+from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+
+def prepare_documents(docs: DataFrame, use_extraction: bool = False) -> DataFrame:
+    """input_hint table → (doc_id, url, warc_ts, text, lang).
+
+    doc_id = xxhash64(url): stable across runs and partitions, no global
+    sort at 10^12 docs.  Upsert semantics (reference A17/B13: last write
+    per id wins) are applied as a window dedup by (doc_id, warc_ts desc) —
+    this also absorbs the rare 64-bit hash collision by keeping one row.
+    """
+    if use_extraction or "text" not in docs.columns:
+        docs = docs.withColumn("text", html2text_udf(F.col("html")))
+    out = docs.withColumn("doc_id", F.xxhash64(F.col("url")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("warc_ts"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("doc_id", "url", "warc_ts", "text", "lang")
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: SnapshotCatalog,
+    fingerprint: str,
+    *,
+    analyzer: str = "english",
+    params: BM25Params = BM25Params(),
+    n_build_partitions: int = 8,
+    n_buckets: int = DEFAULT_BUCKETS,
+    use_extraction: bool = False,
+    id_col: str | None = None,
+    fail_after_partition: int | None = None,
+) -> dict:
+    """Run (or resume) a full index build; returns build metrics.
+
+    ``fail_after_partition`` is the failure-injection hook for the
+    resumability test.
+    """
+    table = "index"
+    if catalog.is_published(table, fingerprint):
+        return {"skipped": True, "fingerprint": fingerprint}
+
+    build_id = f"build-{fingerprint[:24]}"
+    stage_root = f"{catalog.root}/_stage/{build_id}"
+    done = catalog.done_partitions(build_id, fingerprint)
+
+    if id_col:
+        prepared = docs.withColumn("doc_id", F.col(id_col)) if id_col != "doc_id" else docs
+        prepared = prepared.select("doc_id", "text")
+    else:
+        prepared = prepare_documents(docs, use_extraction=use_extraction).select(
+            "doc_id", "url", "warc_ts", "text", "lang"
+        )
+
+    t0 = time.time()
+    n_done_now = 0
+    for p in range(n_build_partitions):
+        if p in done:
+            continue
+        started = time.time()
+        part = prepared.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_build_partitions)) == p
+        )
+        toks = with_tokens(part, "text", analyzer).select("doc_id", "tokens")
+        postings_p = token_postings(toks)
+        doclens_p = doc_lengths(toks)
+        postings_p.write.mode("overwrite").parquet(f"{stage_root}/postings/p={p}")
+        doclens_p.write.mode("overwrite").parquet(f"{stage_root}/doclens/p={p}")
+        rows = -1  # row count is recorded by stage-2 metrics; avoid extra job
+        catalog.checkpoint_done(build_id, p, fingerprint, rows, started)
+        n_done_now += 1
+        if fail_after_partition is not None and p >= fail_after_partition:
+            raise RuntimeError(f"injected failure after partition {p}")
+    t_stage1 = time.time() - t0
+
+    # ---- stage 2: global merge ----
+    t1 = time.time()
+    postings = spark.read.parquet(f"{stage_root}/postings")
+    doclens = spark.read.parquet(f"{stage_root}/doclens")
+    n_docs, avgdl = corpus_stats(doclens)
+    dfs = df_stats(postings)
+    max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])
+    blocks = spimi.build_blocks(
+        postings, doclens, dfs, n_docs, avgdl, max_doc_id,
+        params=params, n_buckets=n_buckets,
+    )
+
+    gen, gen_path = catalog.stage_generation(table, fingerprint)
+    spimi.write_blocks(blocks, f"{gen_path}/blocks.parquet")
+    dfs.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/df_stats.parquet")
+    doclens.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/doclens.parquet")
+    if not id_col:
+        docs_store = prepared.drop("text")
+        docs_store.write.mode("overwrite").parquet(f"{gen_path}/docs.parquet")
+    t_stage2 = time.time() - t1
+
+    metrics = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "analyzer": analyzer,
+        "partitions_built": n_done_now,
+        "partitions_skipped": len(done),
+        "stage1_sec": t_stage1,
+        "stage2_sec": t_stage2,
+        "k1": params.k1,
+        "b": params.b,
+    }
+    catalog.publish(table, gen, fingerprint, metrics)
+    return metrics

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north rule: `spark-submit --py-files`).
+
+Usage:
+    spark-submit --py-files dist/docs_indexer_spark.zip spark_submit_main.py \
+        build  --input <parquet_or_table> --warehouse <dir> --fingerprint <id>
+    spark-submit --py-files dist/docs_indexer_spark.zip spark_submit_main.py \
+        query  --warehouse <dir> --q "spark join" --k 10
+    spark-submit --py-files dist/docs_indexer_spark.zip spark_submit_main.py \
+        bench-build --input <parquet> [--analyzer english]
+
+Build the zip with:  python -m zipfile -c dist/docs_indexer_spark.zip docs_indexer_spark
+(mirrors the reference's two CLI subcommands `hugo` / `blog`,
+/root/reference/main.py:14-26 — here: build / query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--fingerprint", required=True)
+    b.add_argument("--analyzer", default="english")
+    b.add_argument("--partitions", type=int, default=8)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--extract-html", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--warehouse", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--exact", action="store_true")
+
+    bb = sub.add_parser("bench-build")
+    bb.add_argument("--input", required=True)
+    bb.add_argument("--analyzer", default="english")
+
+    args = ap.parse_args()
+    spark = SparkSession.builder.getOrCreate()
+
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    if args.cmd == "build":
+        catalog = SnapshotCatalog(args.warehouse)
+        docs = spark.read.parquet(args.input)
+        metrics = build_index(
+            spark, docs, catalog, args.fingerprint,
+            analyzer=args.analyzer,
+            n_build_partitions=args.partitions,
+            n_buckets=args.buckets,
+            use_extraction=args.extract_html,
+            id_col=args.id_col,
+        )
+        print(json.dumps(metrics))
+    elif args.cmd == "query":
+        reader = IndexReader(spark, SnapshotCatalog(args.warehouse))
+        t0 = time.time()
+        rows = reader.search(args.q, k=args.k, exact=args.exact).collect()
+        out = {
+            "query": args.q,
+            "latency_sec": round(time.time() - t0, 4),
+            "hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
+        }
+        print(json.dumps(out))
+    elif args.cmd == "bench-build":
+        from pyspark.sql import functions as F
+
+        from docs_indexer_spark.operators import spimi
+        from docs_indexer_spark.operators.postings import (
+            corpus_stats, df_stats, doc_lengths, token_postings, with_tokens,
+        )
+
+        docs = spark.read.parquet(args.input)
+        t0 = time.time()
+        toks = with_tokens(docs, "text", args.analyzer).select("doc_id", "tokens")
+        postings = token_postings(toks)
+        doclens = doc_lengths(toks)
+        n, avgdl = corpus_stats(doclens)
+        dfs = df_stats(postings)
+        mx = int(doclens.agg(F.max("doc_id")).collect()[0][0])
+        blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, mx)
+        blocks.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        print(json.dumps({
+            "n_docs": n, "build_sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1),
+            "parallelism": spark.sparkContext.defaultParallelism,
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

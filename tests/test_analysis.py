@@ -1,0 +1,113 @@
+"""Analysis-chain tests: Porter vectors, stopwords, shingles, reverse —
+plus native-Column vs pure-Python parity (the same chain must produce the
+same tokens whichever side runs it)."""
+
+import pytest
+
+from docs_indexer_spark.functions.analysis import (
+    ENGLISH_STOPWORDS,
+    analyze_english,
+    analyze_simple,
+    analyze_stop,
+    reverse_tokens,
+    reverse_tokens_col,
+    shingles,
+    shingles_col,
+    stop_filter_col,
+    tokenize,
+    tokens_col,
+)
+from docs_indexer_spark.functions.porter import porter_stem
+
+# published vectors from the algorithm definition (Porter 1980)
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "failing": "fail", "filing": "file",
+    "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration", "digitizer": "digit",
+    "differentli": "differ", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic", "operator": "oper",
+    "feudalism": "feudal", "decisiveness": "decis", "hopefulness": "hope",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+    "cease": "ceas", "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_vectors():
+    for word, want in PORTER_VECTORS.items():
+        assert porter_stem(word) == want, word
+
+
+def test_stopword_list_is_lucene_default():
+    assert len(ENGLISH_STOPWORDS) == 33
+    assert "the" in ENGLISH_STOPWORDS and "spark" not in ENGLISH_STOPWORDS
+
+
+def test_english_chain():
+    assert analyze_english("The dog's bones are running") == ["dog", "bone", "run"]
+    assert analyze_english("") == []
+    assert analyze_english("the and of") == []
+
+
+def test_tokenize_apostrophe_and_numbers():
+    assert tokenize("Don't stop-me now, 42nd") == ["don't", "stop", "me", "now", "42nd"]
+
+
+def test_shingles():
+    assert shingles(["a", "b", "c"]) == ["a", "b", "c", "a b", "b c", "a b c"]
+    assert shingles(["a"]) == ["a"]
+    assert shingles([]) == []
+
+
+def test_reverse():
+    assert reverse_tokens(["abc", "de"]) == ["cba", "ed"]
+
+
+@pytest.mark.spark
+def test_native_simple_chain_parity(spark):
+    """tokens_col (JVM codegen) == analyze_simple (Python) on varied input."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "The fast KEY order; sort!", "", "a-b_c 12x  ", "Ünïcode stays out",
+        "trailing space ", " x", "ALLCAPS", None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(tokens_col("text").alias("t")).collect()
+    for row, text in zip(got, texts):
+        want = analyze_simple(text or "")
+        assert row["t"] == want, (text, row["t"], want)
+
+
+@pytest.mark.spark
+def test_native_stop_shingle_reverse_parity(spark):
+    inputs = [["quick", "brown", "fox", "the"], [], ["one"], ["a", "b"]]
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(inputs)], "id int, tokens array<string>"
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        stop_filter_col("tokens").alias("stopped"),
+        shingles_col("tokens").alias("sh"),
+        reverse_tokens_col("tokens").alias("rev"),
+    ).collect()}
+    for i, src in enumerate(inputs):
+        assert rows[i]["stopped"] == [t for t in src if t not in ENGLISH_STOPWORDS]
+        assert rows[i]["sh"] == shingles(src)
+        assert rows[i]["rev"] == reverse_tokens(src)
+
+
+def test_analyze_stop():
+    assert analyze_stop("the quick brown fox") == ["quick", "brown", "fox"]

@@ -1,0 +1,129 @@
+"""Rank-identity gate: the Spark engine (all three scoring paths) must
+match the single-process oracle — docIDs exactly, scores to 1e-6 relative —
+on a query set covering rare terms, head terms, stopword-only queries,
+stemmer conflation, absent terms (SURVEY.md §5, FIXTURES.md §6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docs_indexer_spark.config import BM25Params
+from docs_indexer_spark.functions.analysis import analyze_text
+from docs_indexer_spark.operators import bm25, spimi
+from docs_indexer_spark.operators.postings import (
+    corpus_stats,
+    df_stats,
+    doc_lengths,
+    idf_col,
+    token_postings,
+    with_tokens,
+)
+from docs_indexer_spark.oracle import OracleIndex
+from tests.conftest import rank_identical
+
+ANALYZER = "english"
+
+QUERIES = [
+    "spark join",
+    "the window",            # head term + stopword
+    "the and of",            # stopword-only → empty result set
+    "batches joining windows",  # stemmer conflation (batch/join/window)
+    "zzzmissing spark",      # absent term + present term
+    "merge sort scan table filter",
+    "customer",
+    "vector",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    rows = documents.select("doc_id", "text").collect()
+    return [(int(r["doc_id"]), r["text"]) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    idx = OracleIndex(analyzer=ANALYZER)
+    for doc_id, text in corpus:
+        idx.add(doc_id, text)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def index(spark, documents):
+    toks = with_tokens(documents, "text", ANALYZER).select("doc_id", "tokens")
+    toks = toks.cache()
+    postings = token_postings(toks).cache()
+    doclens = doc_lengths(toks).cache()
+    n, avgdl = corpus_stats(doclens)
+    dfs = df_stats(postings)
+    max_doc_id = doclens.agg(F.max("doc_id")).collect()[0][0]
+    blocks = spimi.build_blocks(
+        postings, doclens, dfs, n, avgdl, max_doc_id, n_buckets=8
+    ).cache()
+    idf_rows = dfs.withColumn("idf", idf_col(F.col("df"), n)).collect()
+    idf = {r["term"]: float(r["idf"]) for r in idf_rows}
+    return {
+        "postings": postings,
+        "doclens": doclens,
+        "n": n,
+        "avgdl": avgdl,
+        "blocks": blocks,
+        "idf": idf,
+    }
+
+
+def _terms(q):
+    return analyze_text(q, ANALYZER)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_exact_from_tokens_rank_identical(index, oracle, query):
+    expected = oracle.topk(query, k=10)
+    got = bm25.score_from_tokens(
+        index["postings"], index["doclens"], index["n"], index["avgdl"],
+        _terms(query), k=10,
+    ).collect()
+    actual = [(int(r["doc_id"]), float(r["score"])) for r in got]
+    rank_identical(expected, actual)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_exact_from_blocks_rank_identical(index, oracle, query):
+    expected = oracle.topk(query, k=10)
+    got = bm25.score_from_blocks(
+        index["blocks"], index["idf"], _terms(query), k=10
+    ).collect()
+    actual = [(int(r["doc_id"]), float(r["score"])) for r in got]
+    rank_identical(expected, actual, tol=1e-5)  # float32 tf_norm storage
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_rank_identical(index, oracle, query):
+    from docs_indexer_spark.operators.wand import wand_topk
+
+    expected = oracle.topk(query, k=10)
+    got = wand_topk(index["blocks"], index["idf"], _terms(query), k=10).collect()
+    actual = [(int(r["doc_id"]), float(r["score"])) for r in got]
+    rank_identical(expected, actual, tol=1e-5)
+
+
+def test_wand_matches_exact_blocks_k50(index):
+    """exact-vs-WAND cross-check at a larger k (SURVEY §5)."""
+    from docs_indexer_spark.operators.wand import wand_topk
+
+    terms = _terms("spark join window batch")
+    exact = bm25.score_from_blocks(index["blocks"], index["idf"], terms, k=50).collect()
+    wand = wand_topk(index["blocks"], index["idf"], terms, k=50).collect()
+    rank_identical(
+        [(int(r["doc_id"]), float(r["score"])) for r in exact],
+        [(int(r["doc_id"]), float(r["score"])) for r in wand],
+        tol=1e-9,
+    )
+
+
+def test_oracle_score_sanity(oracle, corpus):
+    """Single-doc score agrees with topk's accumulation."""
+    top = oracle.topk("spark join", k=1)
+    assert top, "nonempty corpus must match"
+    doc_id, score = top[0]
+    assert abs(oracle.score("spark join", doc_id) - score) < 1e-12

@@ -1,0 +1,208 @@
+"""Dedup + similarity + text-quality operators (training-data plane)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),      # near dup
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content"),
+        (5, "unrelated text entirely about databases and queries"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, dup_docs):
+    from docs_indexer_spark.operators.dedup import exact_duplicates
+
+    groups = {r["text_hash"]: r for r in exact_duplicates(dup_docs).collect()}
+    dup_groups = [g for g in groups.values() if g["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_docs"] == 2
+    assert dup_groups[0]["keep_doc_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    from docs_indexer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(dup_docs, num_hashes=16)
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup should band-collide
+    assert (3, 5) not in pairs  # unrelated docs shouldn't
+
+
+def test_minhash_signature_deterministic(spark, dup_docs):
+    from docs_indexer_spark.operators.dedup import minhash_signatures
+
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(dup_docs).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(dup_docs).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text → identical signature
+
+
+def test_simhash_hamming(spark, dup_docs):
+    from docs_indexer_spark.operators.dedup import simhash64
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(dup_docs).collect()}
+    assert sims[0] == sims[1]
+    ham02 = bin(sims[0] ^ sims[2]).count("1")
+    ham05 = bin(sims[0] ^ sims[5]).count("1")
+    assert ham02 < ham05  # near dup closer than unrelated
+
+
+def test_ngram_jaccard(spark, dup_docs):
+    from docs_indexer_spark.operators.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 5)], "doc_a long, doc_b long"
+    )
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard(dup_docs, pairs).collect()
+    }
+    assert jac[(0, 1)] == 1.0
+    assert 0.0 < jac[(0, 2)] < 1.0
+    assert jac[(0, 5)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        if i < 5:  # tight cluster around base
+            v = base + 0.01 * rng.standard_normal(16)
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    from docs_indexer_spark.operators.similarity import cosine_topk
+
+    rows = embeddings.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    want = sorted(
+        (
+            (int(i), float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))))
+            for i, v in vecs.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = [
+        (int(r["vec_id"]), float(r["cosine"]))
+        for r in cosine_topk(embeddings, [float(x) for x in q], k=5).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    from docs_indexer_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_neighbors,
+    )
+
+    rows = embeddings.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(embeddings, q, k=5).collect()}
+    ann = {
+        r["vec_id"]
+        for r in lsh_bucket_neighbors(
+            embeddings, q, k=5, bits=8, max_hamming=1
+        ).collect()
+    }
+    # the tight cluster shares the query's bucket → recall on the cluster
+    assert len(exact & ann) >= 3
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    from docs_indexer_spark.operators.similarity import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(embeddings, threshold=0.95, bits=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 5-vector cluster has C(5,2)=10 pairs; LSH at 6 bits should keep most
+    cluster_pairs = {(a, b) for a in range(5) for b in range(5) if a < b}
+    assert len(found & cluster_pairs) >= 6
+    assert all(r["cosine"] >= 0.95 for r in pairs)
+
+
+def test_text_quality_cols(spark):
+    from docs_indexer_spark.functions.text_quality import (
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox is running with the hounds for fun"),
+            (1, "der hund ist mit der katze und das haus"),
+            (2, "!!! ??? ..."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count_col("text").alias("n"),
+            quality_score_col("text").alias("q"),
+            lang_id_col("text").alias("lang"),
+        ).collect()
+    }
+    assert rows[0]["n"] == 11
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["lang"] == "und"
+    assert rows[2]["q"] == 0.0
+    assert rows[3]["n"] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from docs_indexer_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"fakejpegbytes-1"), ("image/jpeg", 8, 8, None)),
+            (2, "image", bytearray(b"fakejpegbytes-2"), ("image/jpeg", 8, 8, None)),
+            (3, "video", bytearray(b"fakemp4"), ("video/mp4", 0, 0, 3500)),
+        ],
+        "doc_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    feats = {r["doc_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert len(feats[1]["feature"]) == 16
+    assert feats[1]["feature"] != feats[2]["feature"]  # content-seeded
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert feats[1]["feature"] == again[1]["feature"]
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"x", fake=False)
