@@ -582,10 +582,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": f"""
             WITH d AS (
               SELECT doc_id,
-                     CASE WHEN len({TOKS}) >= 3 THEN (
-                       SELECT list_distinct(list(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
-                       FROM unnest(range(1, len(arr) - 1)) t(i)
-                     ) ELSE [array_to_string(arr, ' ')] END AS grams
+                     CASE WHEN len(arr) >= 3 THEN list_distinct(
+                       list_transform(range(1, len(arr) - 1),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                     ELSE [array_to_string(arr, ' ')] END AS grams
               FROM (SELECT doc_id, {TOKS} AS arr FROM documents WHERE doc_id < 60)
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -104,29 +104,48 @@ def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     bits: int = 12,
+    tables: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) pairs with cosine ≥ threshold, via exact-verify
-    over same-signature LSH buckets (shuffle join on the signature)."""
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
+
+    Multi-table random-hyperplane LSH: ``tables`` independent signatures
+    per vector (a single table splits a tight cluster whenever one
+    hyperplane happens to cut through it; the miss probability decays
+    exponentially in the table count).  Candidates = same (table, sig)
+    bucket — a shuffle join on the bucket key, never a cross join — then
+    exact cosine verification with native math, distinct-ed."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
-    planes = _hyperplanes(int(first["d"]), bits, seed)
+    dim = int(first["d"])
+    sig_structs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 7919 * t)
+        sig_structs.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                rp_signature_col(F.col(vec_col), planes).alias("sig"),
+            )
+        )
     with_sig = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
-        rp_signature_col(F.col(vec_col), planes).alias("_sig"),
-    )
+        F.explode(F.array(*sig_structs)).alias("bk"),
+    ).select(id_col, "v", F.col("bk.tbl").alias("tbl"), F.col("bk.sig").alias("sig"))
     a = with_sig.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "_sig"
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "sig"
     )
     b = with_sig.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "_sig"
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "tbl", "sig"
     )
-    pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .distinct()
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )

@@ -110,7 +110,7 @@ class _TermList:
     def next_geq(self, target: int) -> None:
         """Skip to the first posting with doc_id >= target (block skipping
         via metadata — undecoded blocks are jumped, not decoded)."""
-        if self.exhausted:
+        if self.exhausted or self.cur_doc >= target:
             return
         if self.ids[-1] < target:  # beyond current block
             bi = self.bi + 1
@@ -161,15 +161,24 @@ def wand_topk_lists(
         pivot_doc = active[pivot].cur_doc
         if pivot_doc == _EXHAUSTED:
             break
+        # extend the pivot over every list already positioned at pivot_doc
+        # so the block-max bound below covers all its contributors
+        while pivot + 1 < len(active) and active[pivot + 1].cur_doc == pivot_doc:
+            pivot += 1
         # block-max refinement (Ding & Suel): tighter bound from the blocks
         # that actually cover pivot_doc
         block_sum = sum(l.block_max_at(pivot_doc) for l in active[: pivot + 1])
         if block_sum < th:
-            # shallow skip: jump past the nearest block boundary
+            # shallow skip (Ding & Suel GetNewCandidate): jump past the
+            # nearest block boundary, but never past the next list's
+            # cur_doc — beyond it the participating-list set changes and
+            # the block_sum bound no longer covers the candidates.
             boundary = min(
                 l.block_last_at(pivot_doc) for l in active[: pivot + 1]
-            )
-            target = max(boundary + 1, pivot_doc + 1)
+            ) + 1
+            if pivot + 1 < len(active):
+                boundary = min(boundary, active[pivot + 1].cur_doc)
+            target = max(boundary, pivot_doc + 1)
             # advance the list with the largest upper bound (fewest decodes)
             mover = max(active[: pivot + 1], key=lambda l: l.upper())
             mover.next_geq(target)
@@ -189,7 +198,11 @@ def wand_topk_lists(
                 if lst.cur_doc == pivot_doc:
                     lst.advance()
         else:
-            mover = max(active[:pivot], key=lambda l: l.upper())
+            # advance one list that is strictly BEFORE the pivot document
+            # (lists already at pivot_doc must not be chosen — next_geq
+            # would be a no-op and the loop would never progress)
+            movers = [l for l in active[:pivot] if l.cur_doc < pivot_doc]
+            mover = max(movers, key=lambda l: l.upper())
             mover.next_geq(pivot_doc)
 
     out = [(-nd, s) for (s, nd) in heap]
