@@ -10,7 +10,7 @@ lengths and global stats.  Output: the block index
 Skew story (the part the reference never had — it ran 1 OpenSearch shard,
 /root/reference/common.py:6): a Zipf-head term like "the" may appear in a
 large fraction of all documents.  A naive ``groupBy(term)`` would ship that
-whole posting list to ONE task.  Instead the grouping key is
+whole posting list to ONE task.  Instead the shuffle key is
 ``(term, bucket)`` where ``bucket = floor(doc_id / span)`` is a RANGE of
 doc_id — the salt.  Consequences:
 
@@ -23,11 +23,22 @@ doc_id — the salt.  Consequences:
 - block-max WAND also exploits the bucketing: buckets partition the doc
   space, so per-bucket WAND + global top-k merge is exact.
 
+Execution shape: ``repartition(term, bucket)`` →
+``sortWithinPartitions(term, bucket, doc_id)`` → ``mapInPandas`` with a
+carry-over between Arrow batches.  NOT ``groupBy().applyInPandas()`` — that
+materializes one pandas DataFrame per (term, bucket) group, and with a 30k
+vocabulary × 32 buckets the ~1 ms/group protocol overhead dominates
+(measured 113 s for a 2000-doc corpus).  The mapInPandas kernel sees whole
+10k-row Arrow batches and slices groups with numpy change-point detection —
+same output, ~none of the per-group overhead.
+
 All arithmetic (idf, tf-norm) is native Column math; Python appears only in
-the block encoder (numpy varint, Arrow-batched applyInPandas).
+the block encoder (numpy varint inside the Arrow batch).
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -48,39 +59,75 @@ BLOCKS_SCHEMA = (
     "doc_ids_bin binary, tfs_bin binary, tf_norms_bin binary"
 )
 
+_COLS = ["term", "bucket", "doc_id", "tf", "idf", "tf_norm"]
 
-def _make_encoder(norm_dtype):
-    def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        """applyInPandas kernel: one (term, bucket) group → ≤⌈n/B⌉ blocks."""
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
-        ids = pdf["doc_id"].values.astype(np.int64)
-        tfs = pdf["tf"].values.astype(np.uint64)
-        norms = pdf["tf_norm"].values.astype(norm_dtype)
-        scores = pdf["idf"].values.astype(np.float64) * norms.astype(np.float64)
-        rows = []
-        for seq, start in enumerate(range(0, len(ids), BLOCK_SIZE)):
-            sl = slice(start, start + BLOCK_SIZE)
-            bids, btfs, bnorms = ids[sl], tfs[sl], norms[sl]
-            rows.append(
+
+def _encode_runs(pdf: pd.DataFrame, norm_dtype, out: list[dict]) -> None:
+    """Encode every (term, bucket) run of a sorted frame into block rows."""
+    terms = pdf["term"].values
+    buckets = pdf["bucket"].values
+    ids = pdf["doc_id"].values.astype(np.int64)
+    tfs = pdf["tf"].values.astype(np.uint64)
+    norms = pdf["tf_norm"].values.astype(norm_dtype)
+    scores = pdf["idf"].values.astype(np.float64) * norms.astype(np.float64)
+    # change points of the (term, bucket) run-length key
+    change = np.empty(len(pdf), dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = len(pdf)
+    for s, e in zip(starts, ends):
+        term = terms[s]
+        bucket = int(buckets[s])
+        for seq, bs in enumerate(range(s, e, BLOCK_SIZE)):
+            be = min(bs + BLOCK_SIZE, e)
+            out.append(
                 {
                     "term": term,
                     "bucket": bucket,
                     "block_seq": seq,
-                    "n_docs": len(bids),
-                    "first_doc_id": int(bids[0]),
-                    "last_doc_id": int(bids[-1]),
-                    "max_tf": int(btfs.max()),
-                    "max_score": float(scores[sl].max()),
-                    "doc_ids_bin": delta_encode_doc_ids(bids),
-                    "tfs_bin": varint_encode(btfs),
-                    "tf_norms_bin": encode_tf_norms(bnorms, norm_dtype),
+                    "n_docs": be - bs,
+                    "first_doc_id": int(ids[bs]),
+                    "last_doc_id": int(ids[be - 1]),
+                    "max_tf": int(tfs[bs:be].max()),
+                    "max_score": float(scores[bs:be].max()),
+                    "doc_ids_bin": delta_encode_doc_ids(ids[bs:be]),
+                    "tfs_bin": varint_encode(tfs[bs:be]),
+                    "tf_norms_bin": encode_tf_norms(norms[bs:be], norm_dtype),
                 }
             )
-        return pd.DataFrame(rows)
 
-    return _encode_group
+
+def _make_kernel(norm_dtype):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # hold back the trailing (term, bucket) run — it may continue
+            # in the next Arrow batch of this partition
+            last_term = pdf["term"].iloc[-1]
+            last_bucket = pdf["bucket"].iloc[-1]
+            tail_mask = (pdf["term"].values == last_term) & (
+                pdf["bucket"].values == last_bucket
+            )
+            # tail_mask is a suffix because input is sorted by (term,bucket)
+            split = len(pdf) - int(tail_mask.sum())
+            head, carry = pdf.iloc[:split], pdf.iloc[split:]
+            if len(head):
+                rows: list[dict] = []
+                _encode_runs(head, norm_dtype, rows)
+                yield pd.DataFrame(rows)
+        if carry is not None and len(carry):
+            rows = []
+            _encode_runs(carry, norm_dtype, rows)
+            yield pd.DataFrame(rows)
+
+    return kernel
 
 
 def build_blocks(
@@ -93,6 +140,7 @@ def build_blocks(
     params: BM25Params = BM25Params(),
     n_buckets: int = DEFAULT_BUCKETS,
     norm_dtype=np.float32,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf) ⨝ dl ⨝ df → compressed block index."""
     span = max(1, (max_doc_id + n_buckets) // n_buckets)
@@ -110,11 +158,14 @@ def build_blocks(
             ),
         )
         .withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
-        .select("term", "bucket", "doc_id", "tf", "idf", "tf_norm")
+        .select(*_COLS)
     )
-    return enriched.groupBy("term", "bucket").applyInPandas(
-        _make_encoder(norm_dtype), schema=BLOCKS_SCHEMA
-    )
+    if shuffle_partitions:
+        part = enriched.repartition(shuffle_partitions, "term", "bucket")
+    else:
+        part = enriched.repartition("term", "bucket")
+    sorted_part = part.sortWithinPartitions("term", "bucket", "doc_id")
+    return sorted_part.mapInPandas(_make_kernel(norm_dtype), schema=BLOCKS_SCHEMA)
 
 
 def write_blocks(blocks: DataFrame, path: str, term_partitions: int = 32) -> None:

@@ -38,7 +38,6 @@ from docs_indexer_spark.operators import spimi
 from docs_indexer_spark.operators.postings import (
     corpus_stats,
     df_stats,
-    doc_lengths,
     token_postings,
     with_tokens,
 )
@@ -46,23 +45,39 @@ from docs_indexer_spark.sources.catalog import SnapshotCatalog
 
 
 def prepare_documents(docs: DataFrame, use_extraction: bool = False) -> DataFrame:
-    """input_hint table → (doc_id, url, warc_ts, text, lang).
+    """input_hint table → (doc_id, url, warc_ts, [html,] text, lang).
 
     doc_id = xxhash64(url): stable across runs and partitions, no global
     sort at 10^12 docs.  Upsert semantics (reference A17/B13: last write
     per id wins) are applied as a window dedup by (doc_id, warc_ts desc) —
     this also absorbs the rare 64-bit hash collision by keeping one row.
+
+    Deliberately does NOT run the extraction UDF: build_index slices the
+    corpus into restartable partitions AFTER this step, and extraction must
+    sit above that filter or every slice-job would re-extract the whole
+    corpus (UDF below the pushed-down predicate).  Extraction is attached
+    per slice via :func:`with_extracted_text`.
     """
-    if use_extraction or "text" not in docs.columns:
-        docs = docs.withColumn("text", html2text_udf(F.col("html")))
+    cols = ["doc_id", "url", "warc_ts", "text", "lang"]
+    needs_extraction = use_extraction or "text" not in docs.columns
+    if needs_extraction:
+        cols.insert(3, "html")
+        if "text" not in docs.columns:
+            docs = docs.withColumn("text", F.lit(None).cast("string"))
     out = docs.withColumn("doc_id", F.xxhash64(F.col("url")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("warc_ts"))
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .select("doc_id", "url", "warc_ts", "text", "lang")
+        .select(*cols)
     )
+
+
+def with_extracted_text(docs: DataFrame) -> DataFrame:
+    """Attach the vectorized HTML→text extraction (reference
+    common.py:33-38) and drop the raw payload."""
+    return docs.withColumn("text", html2text_udf(F.col("html"))).drop("html")
 
 
 def build_index(
@@ -92,13 +107,16 @@ def build_index(
     stage_root = f"{catalog.root}/_stage/{build_id}"
     done = catalog.done_partitions(build_id, fingerprint)
 
+    # The slice key is a pure function of the upsert key (doc_id =
+    # xxhash64(url)), so slicing BEFORE prepare_documents is equivalent to
+    # slicing after — and keeps every per-slice job O(corpus/P): the window
+    # dedup shuffles only its slice, the extraction UDF runs only on its
+    # slice.  At 10^12 docs this is the difference between P×full-corpus
+    # passes and exactly one full pass total.
     if id_col:
-        prepared = docs.withColumn("doc_id", F.col(id_col)) if id_col != "doc_id" else docs
-        prepared = prepared.select("doc_id", "text")
+        slice_key = F.xxhash64(F.col(id_col))
     else:
-        prepared = prepare_documents(docs, use_extraction=use_extraction).select(
-            "doc_id", "url", "warc_ts", "text", "lang"
-        )
+        slice_key = F.xxhash64(F.xxhash64(F.col("url")))
 
     t0 = time.time()
     n_done_now = 0
@@ -106,14 +124,31 @@ def build_index(
         if p in done:
             continue
         started = time.time()
-        part = prepared.filter(
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_build_partitions)) == p
+        raw_slice = docs.filter(F.pmod(slice_key, F.lit(n_build_partitions)) == p)
+        if id_col:
+            part = (
+                raw_slice.withColumn("doc_id", F.col(id_col))
+                if id_col != "doc_id"
+                else raw_slice
+            ).select("doc_id", "text")
+            doc_cols = ["doc_id"]
+        else:
+            part = prepare_documents(raw_slice, use_extraction=use_extraction)
+            doc_cols = [c for c in part.columns if c not in ("text", "html")]
+        # action 1: doc store slice (dedup only — no extraction in lineage)
+        part.select(*doc_cols).write.mode("overwrite").parquet(
+            f"{stage_root}/docs/p={p}"
         )
+        if "html" in part.columns:
+            part = with_extracted_text(part)
+        # action 2: postings slice — the single extract+tokenize pass.
+        # doclens are NOT written separately: dl == sum(tf) per doc by
+        # construction, so stage 2 derives them from postings (plus dl=0
+        # rows for token-less docs via the doc store) — one extraction
+        # per slice instead of two.
         toks = with_tokens(part, "text", analyzer).select("doc_id", "tokens")
         postings_p = token_postings(toks)
-        doclens_p = doc_lengths(toks)
         postings_p.write.mode("overwrite").parquet(f"{stage_root}/postings/p={p}")
-        doclens_p.write.mode("overwrite").parquet(f"{stage_root}/doclens/p={p}")
         rows = -1  # row count is recorded by stage-2 metrics; avoid extra job
         catalog.checkpoint_done(build_id, p, fingerprint, rows, started)
         n_done_now += 1
@@ -124,7 +159,16 @@ def build_index(
     # ---- stage 2: global merge ----
     t1 = time.time()
     postings = spark.read.parquet(f"{stage_root}/postings")
-    doclens = spark.read.parquet(f"{stage_root}/doclens")
+    docs_store = spark.read.parquet(f"{stage_root}/docs")
+    # dl == sum(tf) per doc; token-less docs get dl=0 via the doc store
+    tok_counts = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("dl")
+    )
+    doclens = (
+        docs_store.select("doc_id")
+        .join(tok_counts, "doc_id", "left")
+        .fillna(0, subset=["dl"])
+    )
     n_docs, avgdl = corpus_stats(doclens)
     dfs = df_stats(postings)
     max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])
@@ -138,7 +182,6 @@ def build_index(
     dfs.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/df_stats.parquet")
     doclens.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/doclens.parquet")
     if not id_col:
-        docs_store = prepared.drop("text")
         docs_store.write.mode("overwrite").parquet(f"{gen_path}/docs.parquet")
     t_stage2 = time.time() - t1
 
