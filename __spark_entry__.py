@@ -412,6 +412,135 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shortcode_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hugo shortcode strip as a native regexp (reference A7,
+    hugo.py:54-57): wrap each text in shortcode tags, strip, prove the
+    wrapped content survives and the tags don't."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    wrapped = F.concat(
+        F.lit('{{< tabs >}}{{% step n="1" %}}'), F.col("text"), F.lit("{{% /step %}}{{< /tabs >}}")
+    )
+    stripped = F.regexp_replace(wrapped, r"\{\{[<%]/?.*?[%>]\}\}", "")
+    return docs.select(
+        "doc_id",
+        stripped.alias("stripped"),
+        (stripped == F.col("text")).alias("clean"),
+    ).orderBy("doc_id")
+
+
+def q_date_parse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-format date parsing with fallback (reference A16,
+    blog.py:110-118): render ts in a fine or coarse format per row, parse
+    back with coalesce(to_timestamp fine, to_timestamp coarse)."""
+    events = _read(spark, sf_dir, "events")
+    fine = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    coarse = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    rendered = events.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0, F.date_format("ts", fine)
+        ).otherwise(F.date_format("ts", coarse)).alias("datestr"),
+    )
+    parsed = rendered.withColumn(
+        "parsed",
+        F.coalesce(
+            F.try_to_timestamp("datestr", F.lit(fine)),
+            F.try_to_timestamp("datestr", F.lit(coarse)),
+        ),
+    )
+    return (
+        parsed.groupBy(F.date_format("parsed", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+    )
+
+
+def q_multifield_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field indexing (reference B10, mappings/hugo.json:54-72): one
+    source column analyzed three ways — token counts per chain."""
+    from docs_indexer_spark.functions.analysis import (
+        reverse_tokens_col,
+        shingles_col,
+        stop_filter_col,
+        tokens_col,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_simple"),
+        F.size(stop_filter_col(toks)).alias("n_stop"),
+        F.size(shingles_col(toks)).alias("n_shingles"),
+        F.get(reverse_tokens_col(toks), 0).alias("first_reversed"),
+    ).orderBy("doc_id")
+
+
+def q_suggest_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-suggester LM lookup (reference B12 trigram analyzer,
+    common.py:9-14): most likely next word after 'the'."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(tokens_col("text").alias("t"))
+    n = F.size("t")
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    return (
+        bigrams.filter(F.col("w1") == "the")
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with an exact SQL twin (md5-derived hashes are
+    identical in Spark and DuckDB)."""
+    from docs_indexer_spark.operators.dedup import minhash_signatures
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sigs = minhash_signatures(docs, num_hashes=4)
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+def q_embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine (embedding near-dup verify plane): top-20
+    most-similar pairs among vec_id<80."""
+    from docs_indexer_spark.operators.similarity import _dot, _norm
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    v = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -438,6 +567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
+        "shortcode_strip": q_shortcode_strip,
+        "date_parse_fallback": q_date_parse_fallback,
+        "multifield_stats": q_multifield_stats,
+        "suggest_bigrams": q_suggest_bigrams,
+        "minhash_sigs": q_minhash_sigs,
+        "embedding_pair_cosine": q_embedding_pair_cosine,
     }
 
 
@@ -597,6 +732,87 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) * 1.0
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "shortcode_strip": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     '{{< tabs >}}{{% step n="1" %}}' || text
+                       || '{{% /step %}}{{< /tabs >}}' AS wrapped
+              FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id,
+                   regexp_replace(wrapped, '\\{\\{[<%]/?.*?[%>]\\}\\}', '', 'g') AS stripped,
+                   regexp_replace(wrapped, '\\{\\{[<%]/?.*?[%>]\\}\\}', '', 'g') = text AS clean
+            FROM w ORDER BY doc_id
+        """,
+        "date_parse_fallback": """
+            WITH rendered AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 2 = 0
+                          THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+                          ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END AS datestr
+              FROM events
+            ),
+            parsed AS (
+              SELECT coalesce(
+                       try_strptime(datestr, '%Y-%m-%dT%H:%M:%S.%fZ'),
+                       try_strptime(datestr, '%Y-%m-%dT%H:%M:%SZ')
+                     ) AS p
+              FROM rendered
+            )
+            SELECT strftime(p, '%Y-%m-%d') AS day, count(*) AS n
+            FROM parsed GROUP BY 1 ORDER BY day
+        """,
+        "multifield_stats": f"""
+            WITH d AS (SELECT doc_id, {TOKS} AS arr FROM documents WHERE doc_id < 50)
+            SELECT doc_id,
+                   len(arr) AS n_simple,
+                   len(list_filter(arr, x -> x NOT IN {STOPLIST_SQL})) AS n_stop,
+                   len(arr) + (CASE WHEN len(arr) >= 2 THEN len(arr) - 1 ELSE 0 END)
+                            + (CASE WHEN len(arr) >= 3 THEN len(arr) - 2 ELSE 0 END) AS n_shingles,
+                   CASE WHEN len(arr) > 0 THEN reverse(arr[1]) END AS first_reversed
+            FROM d ORDER BY doc_id
+        """,
+        "suggest_bigrams": f"""
+            WITH d AS (SELECT {TOKS} AS arr FROM documents),
+            bg AS (
+              SELECT arr[i] AS w1, arr[i+1] AS w2
+              FROM d, unnest(range(1, len(arr))) t(i)
+            )
+            SELECT w2, count(*) AS cnt FROM bg WHERE w1 = 'the'
+            GROUP BY 1 ORDER BY cnt DESC, w2 LIMIT 20
+        """,
+        "minhash_sigs": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN len(arr) >= 3 THEN
+                       list_transform(range(1, len(arr) - 1),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+                     ELSE [array_to_string(arr, ' ')] END AS grams
+              FROM (SELECT doc_id, {TOKS} AS arr FROM documents WHERE doc_id < 100)
+            )
+            SELECT doc_id,
+                   {', '.join(
+                       "list_min(list_transform(grams, s -> "
+                       f"('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) AS sig_{i}"
+                       for i in range(4)
+                   )}
+            FROM d ORDER BY doc_id
+        """,
+        "embedding_pair_cosine": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id < 80
+            ),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_inner_product(a.v, b.v)
+                     / (sqrt(list_inner_product(a.v, a.v))
+                        * sqrt(list_inner_product(b.v, b.v))) AS c
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cosine
+            FROM p ORDER BY c DESC, id_a, id_b LIMIT 20
         """,
         # minhash_lsh_pairs / simhash_near_dups: no SQL twin (md5-banding /
         # xxhash64 not reasonably expressible) → rows-only check.

@@ -80,6 +80,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM / parquet reader so query timings measure queries,
+    # not session startup (~8 s on the first job otherwise)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     queries = entry_mod.queries()
     per_query: dict[str, float] = {}
     total = 0.0

@@ -84,20 +84,24 @@ def lang_id_col(text_col):
     from docs_indexer_spark.functions.analysis import tokens_col
 
     toks = tokens_col(text_col)
-    scores = []
-    for lang in sorted(LANG_MARKERS):
+    langs = sorted(LANG_MARKERS)
+    entries = []
+    for i, lang in enumerate(langs):
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
-        scores.append((lang, hits))
-    best = None
-    for lang, hits in scores:
-        if best is None:
-            best = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        else:
-            # strictly-greater keeps the earlier (alphabetical) lang on ties
-            cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-            best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        # argmax via array_max over (hits, -index): ties pick the smallest
+        # index = alphabetically-first language.  Each hits expression
+        # appears exactly ONCE — a when/otherwise chain would duplicate the
+        # token scan at every nesting level (2^|langs| copies; CASE branches
+        # are excluded from codegen subexpression elimination).
+        entries.append(
+            F.struct(hits.alias("h"), F.lit(-i).alias("ni"))
+        )
+    best = F.array_max(F.array(*entries))
+    lang_lookup = F.array(*[F.lit(l) for l in langs])
+    return F.when(
+        best["h"] > 0, F.element_at(lang_lookup, -best["ni"] + 1)
+    ).otherwise(F.lit("und"))
 
 
 def fingerprint_col(text_col, window: int = 8):
