@@ -33,16 +33,15 @@ from pyspark.sql import functions as F
 from docs_indexer_spark.session import get_spark
 from docs_indexer_spark.operators import spimi
 from docs_indexer_spark.operators.postings import (
-    corpus_stats, df_stats, doc_lengths, token_postings, with_tokens)
+    corpus_stats, df_stats, token_relations)
 
 spark = get_spark(master="local[{cores}]", shuffle_partitions={shuffle})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({input!r})
 docs.count()  # warm the scan; we time compute, not first-touch page cache
 t0 = time.time()
-toks = with_tokens(docs, "text", "english").select("doc_id", "tokens")
-postings = token_postings(toks)
-doclens = doc_lengths(toks)
+rel = token_relations(docs, "text", analyzer="english", term_ids=True)
+postings, doclens = rel.postings.persist(), rel.doclens
 n, avgdl = corpus_stats(doclens)
 dfs = df_stats(postings)
 mx = int(doclens.agg(F.max("doc_id")).collect()[0][0])
@@ -91,7 +90,10 @@ def main() -> None:
     ap.add_argument("--input", default=None)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--m", type=int, default=32)
-    ap.add_argument("--docs", type=int, default=120_000)
+    # sized so the local[8] build runs minutes, not seconds — at ~100k docs
+    # fixed per-stage overhead (scheduling, worker forks, AQE stage
+    # barriers) dominates and the 32-core run can't amortize it
+    ap.add_argument("--docs", type=int, default=1_000_000)
     args = ap.parse_args()
 
     input_path = args.input or synthesize(args.docs)

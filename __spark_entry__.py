@@ -126,10 +126,11 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_rows = (
         dfs.filter(F.col("term").isin(BM25_TERMS))
         .withColumn("idf", idf_col(F.col("df"), n))
+        .withColumn("term_id", F.xxhash64("term"))
         .collect()
     )
-    idf = {r["term"]: float(r["idf"]) for r in idf_rows}
-    top = wand_topk(blocks, idf, BM25_TERMS, k=10)
+    idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
+    top = wand_topk(blocks, idf, sorted(idf), k=10)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 

@@ -29,9 +29,7 @@ from docs_indexer_spark.operators import spimi  # noqa: E402
 from docs_indexer_spark.operators.postings import (  # noqa: E402
     corpus_stats,
     df_stats,
-    doc_lengths,
-    token_postings,
-    with_tokens,
+    token_relations,
 )
 from docs_indexer_spark.session import get_spark  # noqa: E402
 
@@ -61,9 +59,11 @@ def time_index_build(spark, sf_dir: str) -> tuple[float, int]:
     compressed blocks) over the documents table; returns (sec, n_docs)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
-    toks = with_tokens(docs, "text", "english").select("doc_id", "tokens")
-    postings = token_postings(toks)
-    doclens = doc_lengths(toks)
+    rel = token_relations(docs, "text", analyzer="english", term_ids=True)
+    # the checkpointed build materializes postings to parquet between
+    # stages; persisting here mirrors that so df_stats/max/enriched don't
+    # re-run the stem join
+    postings, doclens = rel.postings.persist(), rel.doclens
     n, avgdl = corpus_stats(doclens)
     dfs = df_stats(postings)
     max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])

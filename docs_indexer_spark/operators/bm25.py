@@ -77,7 +77,7 @@ def score_from_tokens(
 
 
 def decode_blocks_iter(
-    block_batches: Iterator[pd.DataFrame], idf: Mapping[str, float]
+    block_batches: Iterator[pd.DataFrame], idf: Mapping[int, float]
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: compressed blocks → (doc_id, partial score)."""
     for pdf in block_batches:
@@ -86,9 +86,9 @@ def decode_blocks_iter(
         out_ids: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         for term, ids_bin, norms_bin in zip(
-            pdf["term"].values, pdf["doc_ids_bin"].values, pdf["tf_norms_bin"].values
+            pdf["term_id"].values, pdf["doc_ids_bin"].values, pdf["tf_norms_bin"].values
         ):
-            w = idf.get(term)
+            w = idf.get(int(term))
             if not w:
                 continue
             ids = delta_decode_doc_ids(ids_bin)
@@ -106,21 +106,21 @@ def decode_blocks_iter(
 
 def score_from_blocks(
     blocks: DataFrame,
-    idf: Mapping[str, float],
-    query_terms: Iterable[str],
+    idf: Mapping[int, float],
+    query_term_ids: Iterable[int],
     k: int = DEFAULT_TOP_K,
 ) -> DataFrame:
     """Exact BM25 top-k from the compressed block index.
 
-    The `term IN (...)` filter prunes row groups before any decode; decode
-    is vectorized numpy inside mapInPandas; the final aggregate + top-k is
-    native.
+    The `term_id IN (...)` filter prunes row groups before any decode;
+    decode is vectorized numpy inside mapInPandas; the final aggregate +
+    top-k is native.
     """
-    terms = sorted(set(query_terms))
+    terms = sorted(set(query_term_ids))
     if not terms:
         return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
-    hit_blocks = blocks.filter(F.col("term").isin(terms)).select(
-        "term", "doc_ids_bin", "tf_norms_bin"
+    hit_blocks = blocks.filter(F.col("term_id").isin(terms)).select(
+        "term_id", "doc_ids_bin", "tf_norms_bin"
     )
     partials = hit_blocks.mapInPandas(
         lambda it: decode_blocks_iter(it, idf),

@@ -28,12 +28,14 @@ _SHIFTS = np.arange(10, dtype=np.uint64) * np.uint64(7)
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized; also returns the
+    per-value byte length so callers can slice the stream by value index
+    (the block encoder cuts ONE encoded stream into per-block payloads)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= t).astype(np.int64)
@@ -48,7 +50,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> _SHIFTS[j]) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[pos] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -76,7 +83,7 @@ def delta_encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     if len(ids) == 0:
         return b""
     gaps = np.empty(len(ids), dtype=np.uint64)
-    gaps[0] = np.uint64(ids[0])
+    gaps[:1] = ids[:1].astype(np.uint64)  # wraps negatives (modular; decode inverts)
     gaps[1:] = np.diff(ids).astype(np.uint64)
     return varint_encode(gaps)
 

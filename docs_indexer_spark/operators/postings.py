@@ -29,6 +29,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 from docs_indexer_spark.functions.analysis import (
     ANALYZERS,
+    ENGLISH_STOPWORDS,
     stop_filter_col,
     tokens_col,
 )
@@ -60,6 +61,138 @@ def with_tokens(
     return docs.withColumn(out_col, _analyze(F.col(text_col)))
 
 
+class TokenRelations:
+    """Result bundle of :func:`token_relations`.
+
+    - ``postings``: (term_id|term, doc_id, tf)
+    - ``doclens``:  (doc_id, dl) — post-stopword token count per doc
+    - ``terms``:    (term_id, term) dictionary (None in string mode)
+    """
+
+    def __init__(self, postings, doclens, terms=None):
+        self.postings = postings
+        self.doclens = doclens
+        self.terms = terms
+
+    def __iter__(self):  # backwards-compatible unpacking
+        return iter((self.postings, self.doclens))
+
+
+def token_relations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "english",
+    cache: bool = True,
+    term_ids: bool = False,
+) -> TokenRelations:
+    """(postings, doclens[, term dictionary]) with BOTH the Python boundary
+    and the string traffic minimized.
+
+    The naive formulation stems every token occurrence in a pandas UDF —
+    O(total tokens) Python calls (10^14 at the 100 TB target) — and drags
+    term STRINGS through every shuffle.  BM25 postings need neither
+    positions nor strings, so the chain factors:
+
+      tokenize (native regexp_extract_all, apostrophe-aware — the exact
+                oracle regex; possessive/stopword handling moves to the
+                vocabulary level so no per-token transform runs at all)
+      → explode → (doc_id, xxhash64(raw)) numeric pairs
+      → per-doc counts: hash agg over two int64 columns (map-side combine;
+        profiled ~25% faster than the string-keyed agg and far lighter GC)
+      → vocabulary dictionary: groupBy(raw) — output is vocab-sized, the
+        partial agg collapses the Zipf mass early
+      → possessive strip + stopword filter + Porter stem on the DICTIONARY
+        (O(|vocab|) Python in one tiny pandas UDF)
+      → join counts ⨝ dictionary on the int64 raw-hash (AQE picks
+        broadcast when the dictionary is small)
+      → re-aggregate on (term_id, doc_id) — stem conflation can merge
+        counts (batch+batches); still all-numeric
+
+    doclens = Σtf per doc AFTER the stop filter (stemming is
+    count-preserving).  Docs with zero tokens are handled downstream
+    (dl=0 via the doc-store left join).
+
+    64-bit hash collisions (raw-hash or term_id) merge two terms; at a
+    10^8 web vocabulary the expected number of collisions is <1 and the
+    effect is a slightly blended posting list — documented trade for
+    keeping 10^12-row shuffles string-free.  Set ``term_ids=False`` to
+    reattach term strings (vocabulary-sized broadcast join) for
+    SQL-parity / debugging planes.
+    """
+    from pyspark.sql.types import StringType
+
+    if analyzer == "english":
+        toks = _tokenize_col(F.col(text_col))
+    else:
+        # simple split — the SQL-parity tokenizer (DuckDB twin uses the
+        # same [^a-z0-9]+ split)
+        toks = tokens_col(text_col)
+        if analyzer == "stop":
+            toks = stop_filter_col(toks)
+
+    base = docs.select(F.col(id_col), F.explode(toks).alias("raw"))
+    counts = base.select(
+        F.col(id_col), F.xxhash64("raw").alias("rid")
+    ).groupBy(id_col, "rid").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    if cache:
+        counts = counts.persist()
+
+    # vocabulary dictionary: second tokenize pass, but its agg output is
+    # vocab-sized (cheaper than caching the 10^12-row exploded relation)
+    rdict = base.groupBy("raw").agg(F.count(F.lit(1)).alias("cf"))
+
+    if analyzer == "english":
+        # Lucene chain order at the vocabulary level:
+        # possessive strip → stopword filter → Porter stem
+        stripped = F.regexp_replace(F.col("raw"), "'s$", "")
+        stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOPWORDS)])
+        rdict = (
+            rdict.select(
+                F.xxhash64("raw").alias("rid"), stripped.alias("stripped")
+            )
+            .filter(~F.array_contains(stop_arr, F.col("stripped")))
+        )
+
+        @F.pandas_udf(StringType())
+        def _stem(series):
+            from docs_indexer_spark.functions.porter import porter_stem
+
+            return series.map(porter_stem)
+
+        rdict = rdict.withColumn("term", _stem(F.col("stripped")))
+    else:
+        rdict = rdict.select(
+            F.xxhash64("raw").alias("rid"), F.col("raw").alias("term")
+        )
+    rdict = rdict.select("rid", "term", F.xxhash64("term").alias("term_id"))
+
+    postings = (
+        counts.join(rdict.select("rid", "term_id"), "rid")
+        .groupBy("term_id", id_col)
+        .agg(F.sum("tf").cast("int").alias("tf"))
+    )
+    # post-stop doclens: stopword rows dropped by the inner dictionary join
+    doclens = postings.groupBy(id_col).agg(F.sum("tf").cast("int").alias("dl"))
+    terms = rdict.select("term_id", "term").distinct()
+
+    if not term_ids:
+        postings = postings.join(F.broadcast(terms), "term_id").drop("term_id")
+    return TokenRelations(postings, doclens, terms)
+
+
+def _tokenize_col(text):
+    """Apostrophe-aware standard-ish tokenizer as a native expression —
+    the exact regex the oracle's ``tokenize()`` uses."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(text, F.lit(""))),
+        F.lit(r"[a-z0-9]+(?:'[a-z0-9]+)*"),
+        0,
+    )
+
+
 def token_postings(tokens_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(term, doc_id, tf) — the uncompressed postings relation."""
     return (
@@ -85,8 +218,9 @@ def corpus_stats(doclens: DataFrame) -> tuple[int, float]:
 
 
 def df_stats(postings: DataFrame) -> DataFrame:
-    """(term, df) — document frequency per term."""
-    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    """(term|term_id, df) — document frequency per term."""
+    key = "term_id" if "term_id" in postings.columns else "term"
+    return postings.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
 
 
 def idf_col(df_col, n_docs: int):

@@ -45,59 +45,88 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from docs_indexer_spark.config import BLOCK_SIZE, BM25Params, DEFAULT_BUCKETS
-from docs_indexer_spark.operators.compression import (
-    delta_encode_doc_ids,
-    encode_tf_norms,
-    varint_encode,
-)
+from docs_indexer_spark.config import BLOCK_SIZE, BM25Params
+from docs_indexer_spark.operators.compression import varint_encode_with_lengths
 from docs_indexer_spark.operators.postings import idf_col
 
 BLOCKS_SCHEMA = (
-    "term string, bucket int, block_seq int, n_docs int, "
+    "term_id long, bucket int, block_seq int, n_docs int, "
     "first_doc_id long, last_doc_id long, max_tf int, max_score double, "
     "doc_ids_bin binary, tfs_bin binary, tf_norms_bin binary"
 )
 
-_COLS = ["term", "bucket", "doc_id", "tf", "idf", "tf_norm"]
+_COLS = ["term_id", "bucket", "doc_id", "tf", "idf", "tf_norm"]
 
 
-def _encode_runs(pdf: pd.DataFrame, norm_dtype, out: list[dict]) -> None:
-    """Encode every (term, bucket) run of a sorted frame into block rows."""
-    terms = pdf["term"].values
-    buckets = pdf["bucket"].values
+def _encode_runs(pdf: pd.DataFrame, norm_dtype) -> pd.DataFrame:
+    """Encode every (term, bucket) run of a sorted frame into block rows.
+
+    Fully vectorized: block boundaries via numpy change points, per-block
+    max via ``np.maximum.reduceat`` (blocks tile the frame contiguously),
+    and ONE varint pass over the whole batch whose stream is then sliced
+    per block by byte offsets — per-block Python is reduced to bytes
+    slicing.  (A per-run loop calling the encoder cost ~100 µs/run; with
+    Zipf tails most runs are a handful of postings, and that overhead
+    dominated the whole build stage.)
+    """
+    n = len(pdf)
+    terms = pdf["term_id"].values.astype(np.int64)
+    buckets = pdf["bucket"].values.astype(np.int64)
     ids = pdf["doc_id"].values.astype(np.int64)
     tfs = pdf["tf"].values.astype(np.uint64)
     norms = pdf["tf_norm"].values.astype(norm_dtype)
     scores = pdf["idf"].values.astype(np.float64) * norms.astype(np.float64)
-    # change points of the (term, bucket) run-length key
-    change = np.empty(len(pdf), dtype=bool)
+
+    # run change points of the (term, bucket) key
+    change = np.empty(n, dtype=bool)
     change[0] = True
     change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.empty_like(starts)
-    ends[:-1] = starts[1:]
-    ends[-1] = len(pdf)
-    for s, e in zip(starts, ends):
-        term = terms[s]
-        bucket = int(buckets[s])
-        for seq, bs in enumerate(range(s, e, BLOCK_SIZE)):
-            be = min(bs + BLOCK_SIZE, e)
-            out.append(
-                {
-                    "term": term,
-                    "bucket": bucket,
-                    "block_seq": seq,
-                    "n_docs": be - bs,
-                    "first_doc_id": int(ids[bs]),
-                    "last_doc_id": int(ids[be - 1]),
-                    "max_tf": int(tfs[bs:be].max()),
-                    "max_score": float(scores[bs:be].max()),
-                    "doc_ids_bin": delta_encode_doc_ids(ids[bs:be]),
-                    "tfs_bin": varint_encode(tfs[bs:be]),
-                    "tf_norms_bin": encode_tf_norms(norms[bs:be], norm_dtype),
-                }
-            )
+    run_starts = np.flatnonzero(change)
+    run_ends = np.empty_like(run_starts)
+    run_ends[:-1] = run_starts[1:]
+    run_ends[-1] = n
+
+    # block boundaries: tile each run in BLOCK_SIZE steps
+    bs_parts = [np.arange(s, e, BLOCK_SIZE) for s, e in zip(run_starts, run_ends)]
+    bs = np.concatenate(bs_parts)
+    seqs = np.concatenate([np.arange(len(p)) for p in bs_parts])
+    nb_per_run = np.array([len(p) for p in bs_parts])
+    be = np.minimum(bs + BLOCK_SIZE, np.repeat(run_ends, nb_per_run))
+
+    # delta gaps with an absolute value at every block start (each block
+    # is an independently decodable delta chain)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[1:] = np.diff(ids).astype(np.uint64)
+    # absolute (wrapped-modular) value at every block start — bs[0] == 0,
+    # so index 0 is covered here
+    gaps[bs] = ids[bs].astype(np.uint64)
+
+    id_stream, id_lens = varint_encode_with_lengths(gaps)
+    tf_stream, tf_lens = varint_encode_with_lengths(tfs)
+    id_off = np.concatenate(([0], np.cumsum(id_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    norm_bytes = np.ascontiguousarray(norms).tobytes()
+    isz = norms.dtype.itemsize
+
+    return pd.DataFrame(
+        {
+            "term_id": terms[bs],
+            "bucket": buckets[bs].astype(np.int32),
+            "block_seq": seqs.astype(np.int32),
+            "n_docs": (be - bs).astype(np.int32),
+            "first_doc_id": ids[bs],
+            "last_doc_id": ids[be - 1],
+            "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+            "max_score": np.maximum.reduceat(scores, bs),
+            "doc_ids_bin": [
+                id_stream[id_off[s] : id_off[e]] for s, e in zip(bs, be)
+            ],
+            "tfs_bin": [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(bs, be)],
+            "tf_norms_bin": [
+                norm_bytes[s * isz : e * isz] for s, e in zip(bs, be)
+            ],
+        }
+    )
 
 
 def _make_kernel(norm_dtype):
@@ -108,24 +137,20 @@ def _make_kernel(norm_dtype):
                 continue
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
-            # hold back the trailing (term, bucket) run — it may continue
-            # in the next Arrow batch of this partition
-            last_term = pdf["term"].iloc[-1]
+            # hold back the trailing (term_id, bucket) run — it may
+            # continue in the next Arrow batch of this partition
+            last_term = pdf["term_id"].iloc[-1]
             last_bucket = pdf["bucket"].iloc[-1]
-            tail_mask = (pdf["term"].values == last_term) & (
+            tail_mask = (pdf["term_id"].values == last_term) & (
                 pdf["bucket"].values == last_bucket
             )
             # tail_mask is a suffix because input is sorted by (term,bucket)
             split = len(pdf) - int(tail_mask.sum())
             head, carry = pdf.iloc[:split], pdf.iloc[split:]
             if len(head):
-                rows: list[dict] = []
-                _encode_runs(head, norm_dtype, rows)
-                yield pd.DataFrame(rows)
+                yield _encode_runs(head, norm_dtype)
         if carry is not None and len(carry):
-            rows = []
-            _encode_runs(carry, norm_dtype, rows)
-            yield pd.DataFrame(rows)
+            yield _encode_runs(carry, norm_dtype)
 
     return kernel
 
@@ -138,15 +163,35 @@ def build_blocks(
     avgdl: float,
     max_doc_id: int,
     params: BM25Params = BM25Params(),
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     norm_dtype=np.float32,
     shuffle_partitions: int | None = None,
+    target_run_postings: int = 1_000_000,
 ) -> DataFrame:
-    """(term, doc_id, tf) ⨝ dl ⨝ df → compressed block index."""
+    """(term, doc_id, tf) ⨝ dl ⨝ df → compressed block index.
+
+    ``n_buckets`` defaults to ADAPTIVE: ceil(max(df) / target_run_postings)
+    clamped to [1, 1024].  The bucket count trades head-term task size
+    (run ≈ max_df / n_buckets postings — keep ≲ 1M ≈ 8 MB so no single
+    merge task is outsized) against tail fragmentation (a term with
+    df < n_buckets splits into single-posting runs whose per-block
+    metadata inflates the index).  Deriving it from the actual max
+    document frequency keeps small corpora at 1 bucket (zero
+    fragmentation) and 10^12-doc corpora at the cap (head term 10^11 df →
+    ~100M-posting runs across 1024 tasks)."""
+    if "term_id" not in postings.columns:
+        # string-keyed callers (SQL-parity plane): hash on entry so the
+        # shuffle/sort/encode below stay numeric
+        postings = postings.withColumn("term_id", F.xxhash64("term")).drop("term")
+    if "term_id" not in dfs.columns:
+        dfs = dfs.withColumn("term_id", F.xxhash64("term")).drop("term")
+    if n_buckets is None:
+        max_df = int(dfs.agg(F.max("df")).collect()[0][0] or 1)
+        n_buckets = min(1024, max(1, -(-max_df // target_run_postings)))
     span = max(1, (max_doc_id + n_buckets) // n_buckets)
     enriched = (
         postings.join(doclens, "doc_id")
-        .join(dfs, "term")
+        .join(dfs.select("term_id", "df"), "term_id")
         .withColumn("idf", idf_col(F.col("df"), n_docs))
         .withColumn(
             "tf_norm",
@@ -160,20 +205,25 @@ def build_blocks(
         .withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
         .select(*_COLS)
     )
-    if shuffle_partitions:
-        part = enriched.repartition(shuffle_partitions, "term", "bucket")
-    else:
-        part = enriched.repartition("term", "bucket")
-    sorted_part = part.sortWithinPartitions("term", "bucket", "doc_id")
+    if not shuffle_partitions:
+        # explicit N: a bare repartition(cols) is AQE-coalesced toward
+        # 64 MB partitions, which throttles the (Python-side) encode stage
+        # to a handful of tasks regardless of cores — measured flat 8→32
+        # core scaling until pinned.  2× parallelism keeps every core busy
+        # through stragglers.
+        sc = postings.sparkSession.sparkContext
+        shuffle_partitions = max(sc.defaultParallelism * 2, 16)
+    part = enriched.repartition(shuffle_partitions, "term_id", "bucket")
+    sorted_part = part.sortWithinPartitions("term_id", "bucket", "doc_id")
     return sorted_part.mapInPandas(_make_kernel(norm_dtype), schema=BLOCKS_SCHEMA)
 
 
 def write_blocks(blocks: DataFrame, path: str, term_partitions: int = 32) -> None:
-    """Persist the block index term-clustered so query-time `term IN (...)`
-    filters prune parquet row groups (min/max stats on `term`)."""
+    """Persist the block index term-clustered so query-time
+    `term_id IN (...)` filters prune parquet row groups (min/max stats)."""
     (
-        blocks.repartition(term_partitions, "term")
-        .sortWithinPartitions("term", "bucket", "block_seq")
+        blocks.repartition(term_partitions, "term_id")
+        .sortWithinPartitions("term_id", "bucket", "block_seq")
         .write.mode("overwrite")
         .parquet(path)
     )

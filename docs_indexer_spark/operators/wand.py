@@ -127,8 +127,8 @@ class _TermList:
 
 
 def wand_topk_lists(
-    term_blocks: dict[str, pd.DataFrame],
-    idf: Mapping[str, float],
+    term_blocks: dict,
+    idf: Mapping,
     k: int,
 ) -> list[tuple[int, float]]:
     """Run block-max WAND over per-term block tables; returns
@@ -212,22 +212,22 @@ def wand_topk_lists(
 
 def wand_topk(
     blocks: DataFrame,
-    idf: Mapping[str, float],
-    query_terms: Iterable[str],
+    idf: Mapping[int, float],
+    query_term_ids: Iterable[int],
     k: int = DEFAULT_TOP_K,
 ) -> DataFrame:
     """Distributed block-max WAND: per-bucket WAND (exact within the
     bucket's doc range) → global TakeOrderedAndProject(k)."""
-    terms = sorted(set(query_terms))
+    terms = sorted(set(query_term_ids))
     if not terms:
         return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
-    hit = blocks.filter(F.col("term").isin(terms)).select(
-        "term", "bucket", "block_seq", "first_doc_id", "last_doc_id",
+    hit = blocks.filter(F.col("term_id").isin(terms)).select(
+        "term_id", "bucket", "block_seq", "first_doc_id", "last_doc_id",
         "max_score", "doc_ids_bin", "tf_norms_bin",
     )
 
     def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        groups = {t: g for t, g in pdf.groupby("term")}
+        groups = {int(t): g for t, g in pdf.groupby("term_id")}
         top = wand_topk_lists(groups, idf, k)
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}

@@ -32,14 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from docs_indexer_spark.config import BM25Params, DEFAULT_BUCKETS
+from docs_indexer_spark.config import BM25Params
 from docs_indexer_spark.extraction.udfs import html2text_udf
 from docs_indexer_spark.operators import spimi
 from docs_indexer_spark.operators.postings import (
     corpus_stats,
-    df_stats,
-    token_postings,
-    with_tokens,
+    token_relations,
 )
 from docs_indexer_spark.sources.catalog import SnapshotCatalog
 
@@ -89,7 +87,7 @@ def build_index(
     analyzer: str = "english",
     params: BM25Params = BM25Params(),
     n_build_partitions: int = 8,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     use_extraction: bool = False,
     id_col: str | None = None,
     fail_after_partition: int | None = None,
@@ -145,10 +143,18 @@ def build_index(
         # doclens are NOT written separately: dl == sum(tf) per doc by
         # construction, so stage 2 derives them from postings (plus dl=0
         # rows for token-less docs via the doc store) — one extraction
-        # per slice instead of two.
-        toks = with_tokens(part, "text", analyzer).select("doc_id", "tokens")
-        postings_p = token_postings(toks)
-        postings_p.write.mode("overwrite").parquet(f"{stage_root}/postings/p={p}")
+        # per slice instead of two.  token_relations keeps Python to
+        # O(|vocab|) (distinct-term stemming), not O(tokens).
+        # cache=False: this slice runs two actions (postings + term dict)
+        # whose shared prefix is the cheap tokenize pass; persisting the
+        # exploded relation costs more than recomputing it
+        rel = token_relations(
+            part, "text", analyzer=analyzer, cache=False, term_ids=True
+        )
+        rel.postings.write.mode("overwrite").parquet(
+            f"{stage_root}/postings/p={p}"
+        )
+        rel.terms.write.mode("overwrite").parquet(f"{stage_root}/terms/p={p}")
         rows = -1  # row count is recorded by stage-2 metrics; avoid extra job
         catalog.checkpoint_done(build_id, p, fingerprint, rows, started)
         n_done_now += 1
@@ -158,8 +164,10 @@ def build_index(
 
     # ---- stage 2: global merge ----
     t1 = time.time()
-    postings = spark.read.parquet(f"{stage_root}/postings")
-    docs_store = spark.read.parquet(f"{stage_root}/docs")
+    postings = spark.read.parquet(f"{stage_root}/postings").select(
+        "term_id", "doc_id", "tf"
+    )
+    docs_store = spark.read.parquet(f"{stage_root}/docs").drop("p")
     # dl == sum(tf) per doc; token-less docs get dl=0 via the doc store
     tok_counts = postings.groupBy("doc_id").agg(
         F.sum("tf").cast("int").alias("dl")
@@ -170,7 +178,18 @@ def build_index(
         .fillna(0, subset=["dl"])
     )
     n_docs, avgdl = corpus_stats(doclens)
-    dfs = df_stats(postings)
+    # select() first: the staged path contributes a partition column p=N
+    # which would make per-slice duplicates survive the distinct
+    terms_dict = (
+        spark.read.parquet(f"{stage_root}/terms")
+        .select("term_id", "term")
+        .distinct()
+    )
+    dfs = (
+        postings.groupBy("term_id")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(terms_dict, "term_id")
+    )
     max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])
     blocks = spimi.build_blocks(
         postings, doclens, dfs, n_docs, avgdl, max_doc_id,

@@ -38,13 +38,16 @@ class IndexReader:
         self.blocks = catalog.read(spark, "index", "blocks.parquet")
         self.df_stats = catalog.read(spark, "index", "df_stats.parquet")
 
-    def _idf(self, terms: list[str]) -> dict[str, float]:
+    def _idf(self, terms: list[str]) -> dict[int, float]:
+        """term strings → {term_id: idf} via the published df_stats table
+        (which carries the string↔id mapping; vocabulary-sized, filtered
+        to |query| rows before the collect)."""
         if not terms:
             return {}
         rows = self.df_stats.filter(F.col("term").isin(terms)).collect()
         n = self.n_docs
         return {
-            r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+            int(r["term_id"]): math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
             for r in rows
         }
 
@@ -53,9 +56,10 @@ class IndexReader:
     ) -> DataFrame:
         terms = analyze_text(query, self.analyzer)
         idf = self._idf(sorted(set(terms)))
+        ids = sorted(idf)
         if exact:
-            return bm25.score_from_blocks(self.blocks, idf, terms, k=k)
-        return wand.wand_topk(self.blocks, idf, terms, k=k)
+            return bm25.score_from_blocks(self.blocks, idf, ids, k=k)
+        return wand.wand_topk(self.blocks, idf, ids, k=k)
 
     def search_with_docs(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         top = self.search(query, k=k)

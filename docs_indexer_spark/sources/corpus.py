@@ -151,6 +151,9 @@ def generate_corpus(
                 )
             yield pd.DataFrame(rows)
 
-    parts = partitions or max(8, n_docs // 25_000)
+    # enough output files that a downstream scan parallelizes across a
+    # local[32] (or wider) session — 8 files would cap the tokenize stage
+    # at 8 tasks regardless of cores; capped so tiny files don't dominate
+    parts = partitions or min(256, max(32, n_docs // 2_000))
     ids = spark.range(0, n_docs, numPartitions=parts).toDF("id")
     return ids.mapInPandas(gen, schema=CORPUS_SCHEMA)

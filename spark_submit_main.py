@@ -82,14 +82,12 @@ def main() -> None:
 
         from docs_indexer_spark.operators import spimi
         from docs_indexer_spark.operators.postings import (
-            corpus_stats, df_stats, doc_lengths, token_postings, with_tokens,
+            corpus_stats, df_stats, token_relations,
         )
 
         docs = spark.read.parquet(args.input)
         t0 = time.time()
-        toks = with_tokens(docs, "text", args.analyzer).select("doc_id", "tokens")
-        postings = token_postings(toks)
-        doclens = doc_lengths(toks)
+        postings, doclens = token_relations(docs, "text", analyzer=args.analyzer)
         n, avgdl = corpus_stats(doclens)
         dfs = df_stats(postings)
         mx = int(doclens.agg(F.max("doc_id")).collect()[0][0])

@@ -60,8 +60,13 @@ def index(spark, documents):
     blocks = spimi.build_blocks(
         postings, doclens, dfs, n, avgdl, max_doc_id, n_buckets=8
     ).cache()
-    idf_rows = dfs.withColumn("idf", idf_col(F.col("df"), n)).collect()
-    idf = {r["term"]: float(r["idf"]) for r in idf_rows}
+    idf_rows = (
+        dfs.withColumn("idf", idf_col(F.col("df"), n))
+        .withColumn("term_id", F.xxhash64("term"))
+        .collect()
+    )
+    idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
+    term_to_id = {r["term"]: int(r["term_id"]) for r in idf_rows}
     return {
         "postings": postings,
         "doclens": doclens,
@@ -69,6 +74,7 @@ def index(spark, documents):
         "avgdl": avgdl,
         "blocks": blocks,
         "idf": idf,
+        "term_to_id": term_to_id,
     }
 
 
@@ -87,11 +93,15 @@ def test_exact_from_tokens_rank_identical(index, oracle, query):
     rank_identical(expected, actual)
 
 
+def _ids(index, query):
+    return [index["term_to_id"][t] for t in set(_terms(query)) if t in index["term_to_id"]]
+
+
 @pytest.mark.parametrize("query", QUERIES)
 def test_exact_from_blocks_rank_identical(index, oracle, query):
     expected = oracle.topk(query, k=10)
     got = bm25.score_from_blocks(
-        index["blocks"], index["idf"], _terms(query), k=10
+        index["blocks"], index["idf"], _ids(index, query), k=10
     ).collect()
     actual = [(int(r["doc_id"]), float(r["score"])) for r in got]
     rank_identical(expected, actual, tol=1e-5)  # float32 tf_norm storage
@@ -102,7 +112,7 @@ def test_wand_rank_identical(index, oracle, query):
     from docs_indexer_spark.operators.wand import wand_topk
 
     expected = oracle.topk(query, k=10)
-    got = wand_topk(index["blocks"], index["idf"], _terms(query), k=10).collect()
+    got = wand_topk(index["blocks"], index["idf"], _ids(index, query), k=10).collect()
     actual = [(int(r["doc_id"]), float(r["score"])) for r in got]
     rank_identical(expected, actual, tol=1e-5)
 
@@ -111,9 +121,9 @@ def test_wand_matches_exact_blocks_k50(index):
     """exact-vs-WAND cross-check at a larger k (SURVEY §5)."""
     from docs_indexer_spark.operators.wand import wand_topk
 
-    terms = _terms("spark join window batch")
-    exact = bm25.score_from_blocks(index["blocks"], index["idf"], terms, k=50).collect()
-    wand = wand_topk(index["blocks"], index["idf"], terms, k=50).collect()
+    ids = _ids(index, "spark join window batch")
+    exact = bm25.score_from_blocks(index["blocks"], index["idf"], ids, k=50).collect()
+    wand = wand_topk(index["blocks"], index["idf"], ids, k=50).collect()
     rank_identical(
         [(int(r["doc_id"]), float(r["score"])) for r in exact],
         [(int(r["doc_id"]), float(r["score"])) for r in wand],

@@ -50,3 +50,12 @@ def test_adversarial_gap_distributions():
 def test_tf_norms_roundtrip():
     f = np.array([0.0, 0.5, 1.0, 0.123456], dtype=np.float32)
     assert (decode_tf_norms(encode_tf_norms(f)) == f).all()
+
+
+def test_negative_docids_roundtrip():
+    """xxhash64 doc ids are signed; delta coding must wrap modularly."""
+    ids = np.array(
+        [-9223372036854775000, -7785330373092500946, -5, 3, 9223372036854775000],
+        dtype=np.int64,
+    )
+    assert (delta_decode_doc_ids(delta_encode_doc_ids(ids)) == ids).all()

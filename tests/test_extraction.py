@@ -151,3 +151,30 @@ def test_front_matter_description_fallback():
     doc = "---\ntitle: T\ndescription: the fallback\n---\n\n   \n"
     data, text = get_front_matter(doc, "p")
     assert text == "the fallback"
+
+
+def test_collect_properties_text():
+    # /root/reference/hugo_test.py:152-186
+    from docs_indexer_spark.extraction.properties_text import (
+        collect_properties_text,
+    )
+
+    assert collect_properties_text({}) == []
+    assert collect_properties_text({"description": "top"}) == ["top"]
+    schema = {
+        "description": "top",
+        "properties": {
+            "spec": {
+                "description": "spec desc",
+                "properties": {
+                    "replicas": {"description": "number of replicas"},
+                    "name": {},
+                },
+            },
+            "status": {"description": "status desc"},
+        },
+    }
+    assert collect_properties_text(schema) == [
+        "top", "spec", "spec desc", "replicas", "number of replicas",
+        "name", "status", "status desc",
+    ]
