@@ -41,7 +41,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,24 +58,29 @@ BLOCKS_SCHEMA = (
 _COLS = ["term_id", "bucket", "doc_id", "tf", "idf", "tf_norm"]
 
 
-def _encode_runs(pdf: pd.DataFrame, norm_dtype) -> pd.DataFrame:
-    """Encode every (term, bucket) run of a sorted frame into block rows.
+def _encode_runs(cols: dict, norm_dtype) -> pa.RecordBatch:
+    """Encode every (term, bucket) run of a sorted column batch into block
+    rows.
 
     Fully vectorized: block boundaries via numpy change points, per-block
-    max via ``np.maximum.reduceat`` (blocks tile the frame contiguously),
+    max via ``np.maximum.reduceat`` (blocks tile the batch contiguously),
     and ONE varint pass over the whole batch whose stream is then sliced
     per block by byte offsets — per-block Python is reduced to bytes
     slicing.  (A per-run loop calling the encoder cost ~100 µs/run; with
     Zipf tails most runs are a handful of postings, and that overhead
     dominated the whole build stage.)
+
+    Operates on raw numpy columns from mapInArrow — profiling showed the
+    Arrow→pandas materialization in mapInPandas cost ~10× the actual
+    encode work (~16 µs/row vs ~1.2 µs/row).
     """
-    n = len(pdf)
-    terms = pdf["term_id"].values.astype(np.int64)
-    buckets = pdf["bucket"].values.astype(np.int64)
-    ids = pdf["doc_id"].values.astype(np.int64)
-    tfs = pdf["tf"].values.astype(np.uint64)
-    norms = pdf["tf_norm"].values.astype(norm_dtype)
-    scores = pdf["idf"].values.astype(np.float64) * norms.astype(np.float64)
+    terms = cols["term_id"].astype(np.int64, copy=False)
+    buckets = cols["bucket"].astype(np.int64, copy=False)
+    ids = cols["doc_id"].astype(np.int64, copy=False)
+    tfs = cols["tf"].astype(np.uint64, copy=False)
+    norms = cols["tf_norm"].astype(norm_dtype, copy=False)
+    scores = cols["idf"].astype(np.float64, copy=False) * norms.astype(np.float64)
+    n = len(terms)
 
     # run change points of the (term, bucket) key
     change = np.empty(n, dtype=bool)
@@ -108,48 +113,50 @@ def _encode_runs(pdf: pd.DataFrame, norm_dtype) -> pd.DataFrame:
     norm_bytes = np.ascontiguousarray(norms).tobytes()
     isz = norms.dtype.itemsize
 
-    return pd.DataFrame(
-        {
-            "term_id": terms[bs],
-            "bucket": buckets[bs].astype(np.int32),
-            "block_seq": seqs.astype(np.int32),
-            "n_docs": (be - bs).astype(np.int32),
-            "first_doc_id": ids[bs],
-            "last_doc_id": ids[be - 1],
-            "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
-            "max_score": np.maximum.reduceat(scores, bs),
-            "doc_ids_bin": [
-                id_stream[id_off[s] : id_off[e]] for s, e in zip(bs, be)
-            ],
-            "tfs_bin": [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(bs, be)],
-            "tf_norms_bin": [
-                norm_bytes[s * isz : e * isz] for s, e in zip(bs, be)
-            ],
-        }
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(terms[bs], type=pa.int64()),
+            pa.array(buckets[bs].astype(np.int32), type=pa.int32()),
+            pa.array(seqs.astype(np.int32), type=pa.int32()),
+            pa.array((be - bs).astype(np.int32), type=pa.int32()),
+            pa.array(ids[bs], type=pa.int64()),
+            pa.array(ids[be - 1], type=pa.int64()),
+            pa.array(np.maximum.reduceat(tfs, bs).astype(np.int32), type=pa.int32()),
+            pa.array(np.maximum.reduceat(scores, bs), type=pa.float64()),
+            pa.array([id_stream[id_off[s]: id_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
+            pa.array([tf_stream[tf_off[s]: tf_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
+            pa.array([norm_bytes[s * isz: e * isz] for s, e in zip(bs, be)], type=pa.binary()),
+        ],
+        names=[
+            "term_id", "bucket", "block_seq", "n_docs", "first_doc_id",
+            "last_doc_id", "max_tf", "max_score", "doc_ids_bin", "tfs_bin",
+            "tf_norms_bin",
+        ],
     )
 
 
 def _make_kernel(norm_dtype):
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if pdf.empty:
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        carry: dict | None = None
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
+            cols = {
+                name: batch.column(j).to_numpy(zero_copy_only=False)
+                for j, name in enumerate(batch.schema.names)
+            }
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+                cols = {k: np.concatenate([carry[k], cols[k]]) for k in cols}
             # hold back the trailing (term_id, bucket) run — it may
-            # continue in the next Arrow batch of this partition
-            last_term = pdf["term_id"].iloc[-1]
-            last_bucket = pdf["bucket"].iloc[-1]
-            tail_mask = (pdf["term_id"].values == last_term) & (
-                pdf["bucket"].values == last_bucket
-            )
-            # tail_mask is a suffix because input is sorted by (term,bucket)
-            split = len(pdf) - int(tail_mask.sum())
-            head, carry = pdf.iloc[:split], pdf.iloc[split:]
-            if len(head):
-                yield _encode_runs(head, norm_dtype)
-        if carry is not None and len(carry):
+            # continue in the next Arrow batch of this partition; the run
+            # is a suffix because input is sorted by (term_id, bucket)
+            t, b = cols["term_id"], cols["bucket"]
+            tail = (t == t[-1]) & (b == b[-1])
+            split = len(t) - int(tail.sum())
+            if split:
+                yield _encode_runs({k: v[:split] for k, v in cols.items()}, norm_dtype)
+            carry = {k: v[split:] for k, v in cols.items()}
+        if carry is not None and len(carry["term_id"]):
             yield _encode_runs(carry, norm_dtype)
 
     return kernel
@@ -189,9 +196,17 @@ def build_blocks(
         max_df = int(dfs.agg(F.max("df")).collect()[0][0] or 1)
         n_buckets = min(1024, max(1, -(-max_df // target_run_postings)))
     span = max(1, (max_doc_id + n_buckets) // n_buckets)
+    # dimension joins: doclens (16 B/doc) and the df table are broadcast
+    # when the corpus is small enough that shipping them beats shuffling
+    # the 10-100x larger postings relation; above the threshold AQE picks
+    # the strategy from runtime sizes
+    dl_side = F.broadcast(doclens) if n_docs <= 20_000_000 else doclens
+    df_side = dfs.select("term_id", "df")
+    if n_docs <= 20_000_000:
+        df_side = F.broadcast(df_side)
     enriched = (
-        postings.join(doclens, "doc_id")
-        .join(dfs.select("term_id", "df"), "term_id")
+        postings.join(dl_side, "doc_id")
+        .join(df_side, "term_id")
         .withColumn("idf", idf_col(F.col("df"), n_docs))
         .withColumn(
             "tf_norm",
@@ -215,7 +230,7 @@ def build_blocks(
         shuffle_partitions = max(sc.defaultParallelism * 2, 16)
     part = enriched.repartition(shuffle_partitions, "term_id", "bucket")
     sorted_part = part.sortWithinPartitions("term_id", "bucket", "doc_id")
-    return sorted_part.mapInPandas(_make_kernel(norm_dtype), schema=BLOCKS_SCHEMA)
+    return sorted_part.mapInArrow(_make_kernel(norm_dtype), schema=BLOCKS_SCHEMA)
 
 
 def write_blocks(blocks: DataFrame, path: str, term_partitions: int = 32) -> None:
