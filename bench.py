@@ -72,6 +72,43 @@ def time_index_build(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def time_query_latency(spark, sf_dir: str, n_queries: int = 24):
+    """Top-k BM25 p50/p95 over a published block index (warm session):
+    build once into a temp warehouse, query with vocabulary terms drawn
+    from the df table (mix of head and mid-frequency terms)."""
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="bench_wh_"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_index(spark, docs, catalog, "bench-fp", id_col="doc_id",
+                n_build_partitions=1)
+    reader = IndexReader(spark, catalog)
+    terms = [
+        r["term"]
+        for r in reader.df_stats.orderBy(F.desc("df")).limit(60).collect()
+    ]
+    queries = [
+        " ".join(terms[i::12][:3]) for i in range(min(n_queries, 12))
+    ] + [t for t in terms[:max(0, n_queries - 12)]]
+    reader.search(queries[0], k=10).collect()  # warm
+    lat = []
+    for q in queries[:n_queries]:
+        t0 = time.time()
+        reader.search(q, k=10).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+    return round(p50, 4), round(p95, 4)
+
+
 def main() -> None:
     spark = get_spark(
         app_name="docs-indexer-bench",
@@ -101,6 +138,10 @@ def main() -> None:
     build_sec, n_docs = time_index_build(spark, SF_DIR)
     per_query["index_build_sec"] = round(build_sec, 3)
     per_query["index_build_docs_per_sec"] = round(n_docs / build_sec, 1)
+
+    p50, p95 = time_query_latency(spark, SF_DIR)
+    per_query["bm25_query_p50_sec"] = p50
+    per_query["bm25_query_p95_sec"] = p95
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
