@@ -55,7 +55,10 @@ BLOCKS_SCHEMA = (
     "doc_ids_bin binary, tfs_bin binary, tf_norms_bin binary"
 )
 
-_COLS = ["term_id", "bucket", "doc_id", "tf", "idf", "tf_norm"]
+# kernel output before the block-level idf join
+_RAW_BLOCKS_SCHEMA = BLOCKS_SCHEMA.replace("max_score", "max_norm")
+
+_COLS = ["term_id", "bucket", "doc_id", "tf", "tf_norm"]
 
 
 def _encode_runs(cols: dict, norm_dtype) -> pa.RecordBatch:
@@ -79,7 +82,12 @@ def _encode_runs(cols: dict, norm_dtype) -> pa.RecordBatch:
     ids = cols["doc_id"].astype(np.int64, copy=False)
     tfs = cols["tf"].astype(np.uint64, copy=False)
     norms = cols["tf_norm"].astype(norm_dtype, copy=False)
-    scores = cols["idf"].astype(np.float64, copy=False) * norms.astype(np.float64)
+    # per-block MAX NORM only; max_score = idf * max_norm is attached by a
+    # block-granularity join after encoding (idf is constant per term, so
+    # carrying it on every posting row through shuffle+sort+Arrow wasted
+    # 8 B/row; IEEE multiply by a positive constant is monotone, so
+    # idf*max(norm) is the exact same upper bound as max(idf*norm))
+    fnorms = norms.astype(np.float64)
     n = len(terms)
 
     # run change points of the (term, bucket) key
@@ -122,14 +130,14 @@ def _encode_runs(cols: dict, norm_dtype) -> pa.RecordBatch:
             pa.array(ids[bs], type=pa.int64()),
             pa.array(ids[be - 1], type=pa.int64()),
             pa.array(np.maximum.reduceat(tfs, bs).astype(np.int32), type=pa.int32()),
-            pa.array(np.maximum.reduceat(scores, bs), type=pa.float64()),
+            pa.array(np.maximum.reduceat(fnorms, bs), type=pa.float64()),
             pa.array([id_stream[id_off[s]: id_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
             pa.array([tf_stream[tf_off[s]: tf_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
             pa.array([norm_bytes[s * isz: e * isz] for s, e in zip(bs, be)], type=pa.binary()),
         ],
         names=[
             "term_id", "bucket", "block_seq", "n_docs", "first_doc_id",
-            "last_doc_id", "max_tf", "max_score", "doc_ids_bin", "tfs_bin",
+            "last_doc_id", "max_tf", "max_norm", "doc_ids_bin", "tfs_bin",
             "tf_norms_bin",
         ],
     )
@@ -196,18 +204,14 @@ def build_blocks(
         max_df = int(dfs.agg(F.max("df")).collect()[0][0] or 1)
         n_buckets = min(1024, max(1, -(-max_df // target_run_postings)))
     span = max(1, (max_doc_id + n_buckets) // n_buckets)
-    # dimension joins: doclens (16 B/doc) and the df table are broadcast
-    # when the corpus is small enough that shipping them beats shuffling
-    # the 10-100x larger postings relation; above the threshold AQE picks
-    # the strategy from runtime sizes
+    # doclens (16 B/doc) is broadcast when the corpus is small enough that
+    # shipping it beats shuffling the 10-100x larger postings relation;
+    # above the threshold AQE picks the strategy from runtime sizes.  The
+    # df/idf table is NOT joined here at all — idf is per-term, so it is
+    # attached at BLOCK granularity after encoding (~128x fewer rows).
     dl_side = F.broadcast(doclens) if n_docs <= 20_000_000 else doclens
-    df_side = dfs.select("term_id", "df")
-    if n_docs <= 20_000_000:
-        df_side = F.broadcast(df_side)
     enriched = (
         postings.join(dl_side, "doc_id")
-        .join(df_side, "term_id")
-        .withColumn("idf", idf_col(F.col("df"), n_docs))
         .withColumn(
             "tf_norm",
             F.col("tf")
@@ -230,7 +234,17 @@ def build_blocks(
         shuffle_partitions = max(sc.defaultParallelism * 2, 16)
     part = enriched.repartition(shuffle_partitions, "term_id", "bucket")
     sorted_part = part.sortWithinPartitions("term_id", "bucket", "doc_id")
-    return sorted_part.mapInArrow(_make_kernel(norm_dtype), schema=BLOCKS_SCHEMA)
+    raw = sorted_part.mapInArrow(_make_kernel(norm_dtype), schema=_RAW_BLOCKS_SCHEMA)
+    idf_tbl = dfs.select(
+        "term_id", idf_col(F.col("df"), n_docs).alias("_idf")
+    )
+    if n_docs <= 20_000_000:
+        idf_tbl = F.broadcast(idf_tbl)
+    return (
+        raw.join(idf_tbl, "term_id")
+        .withColumn("max_score", F.col("max_norm") * F.col("_idf"))
+        .drop("max_norm", "_idf")
+    )
 
 
 def write_blocks(blocks: DataFrame, path: str, term_partitions: int = 32) -> None:
