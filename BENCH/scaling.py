@@ -44,8 +44,8 @@ rel = token_relations(docs, "text", analyzer="english", term_ids=True)
 postings, doclens = rel.postings.persist(), rel.doclens
 n, avgdl = corpus_stats(doclens)
 dfs = df_stats(postings)
-mx = int(doclens.agg(F.max("doc_id")).collect()[0][0])
-blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, mx)
+ids = doclens.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")).collect()[0]
+blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, int(ids["mx"]), int(ids["mn"]))
 blocks.write.mode("overwrite").format("noop").save()
 dt = time.time() - t0
 print(json.dumps({{"cores": {cores}, "sec": dt, "n_docs": n,

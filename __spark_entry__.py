@@ -118,9 +118,11 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
     dfs = df_stats(postings)
-    max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])
+    id_row = doclens.agg(
+        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
+    ).collect()[0]
     blocks = spimi.build_blocks(
-        postings, doclens, dfs, n, avgdl, max_doc_id,
+        postings, doclens, dfs, n, avgdl, int(id_row["mx"]), int(id_row["mn"]),
         n_buckets=8, norm_dtype=np.float64,
     )
     idf_rows = (
@@ -380,37 +382,35 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= 0.015)
         .orderBy("doc_a", "doc_b")
     )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding candidate pairs (rows-only check: the md5
-    band hashing is impractical to mirror in one SQL statement)."""
+    """MinHash + LSH banding candidate pairs, md5-parity hash family so the
+    DuckDB twin recomputes the exact banded pair set (16 hashes, 4 bands).
+    The production path uses hash="xx" (one xxhash64 per shingle instead of
+    16 md5 passes) — same operator, benchmarked separately in bench.py."""
     from docs_indexer_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    sigs = minhash_signatures(docs, num_hashes=16)
-    return lsh_candidate_pairs(sigs, bands=4).orderBy("doc_a", "doc_b")
+    sigs = minhash_signatures(docs, num_hashes=16, hash="md5")
+    return lsh_candidate_pairs(sigs, bands=4, num_hashes=16).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ 12 on a slice (rows-only:
-    xxhash64 has no DuckDB twin)."""
-    from docs_indexer_spark.operators.dedup import simhash64
+    """SimHash near-dup pairs at hamming ≤ 3 via the pigeonhole-banded
+    equi-join (4 chunks × 16 bits — Manku et al.'s web-dedup config; never
+    an all-pairs join).  md5-parity hash family so the DuckDB twin can
+    recompute simhashes and verify pairs + hamming values bit-for-bit."""
+    from docs_indexer_spark.operators.dedup import simhash64, simhash_near_dup_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    sims = simhash64(docs)
-    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        pairs.select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 12)
-        .orderBy("doc_a", "doc_b")
-    )
+    docs = _docs(spark, sf_dir)
+    sims = simhash64(docs, hash="md5")
+    return simhash_near_dup_pairs(sims, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
 def q_shortcode_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,7 +514,7 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docs_indexer_spark.operators.dedup import minhash_signatures
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    sigs = minhash_signatures(docs, num_hashes=4)
+    sigs = minhash_signatures(docs, num_hashes=4, hash="md5")
     return sigs.select(
         "doc_id",
         *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(4)],
@@ -577,6 +577,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_lsh_oracle() -> str:
+    """DuckDB twin of q_minhash_lsh_pairs: same md5 signature family
+    (proven byte-identical by the minhash_sigs parity query), 16 hashes
+    banded 4×4; a pair is a candidate iff some band matches on all 4."""
+    sig_cols = ", ".join(
+        "list_min(list_transform(grams, s -> "
+        f"('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) AS s{i}"
+        for i in range(16)
+    )
+    band_match = " OR ".join(
+        "(" + " AND ".join(f"a.s{b * 4 + r} = b.s{b * 4 + r}" for r in range(4)) + ")"
+        for b in range(4)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN len(arr) >= 3 THEN
+                   list_transform(range(1, len(arr) - 1),
+                                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+                 ELSE [array_to_string(arr, ' ')] END AS grams
+          FROM (SELECT doc_id, {TOKS} AS arr FROM documents WHERE doc_id < 200)
+        ),
+        sigs AS (SELECT doc_id, {sig_cols} FROM d)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {band_match}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of q_simhash_near_dups: recompute the md5-derived
+    64-bit simhash as two 32-bit halves (DuckDB BIGINT shifts throw on
+    overflow past bit 62, so the halves never leave 32-bit range) and
+    verify the full pair set with exact hamming — the oracle may go
+    all-pairs; only the Spark plan must scale."""
+    def half(name, col):
+        sums = ", ".join(
+            f"sum((({col} >> {b}) & 1)::BIGINT) AS {name}{b}" for b in range(32)
+        )
+        sim = " + ".join(
+            f"(CASE WHEN {name}{b} * 2 > n THEN (1::BIGINT << {b}) ELSE 0 END)"
+            for b in range(32)
+        )
+        return sums, sim
+
+    lo_sums, lo_sim = half("lo", "hlo")
+    hi_sums, hi_sim = half("hi", "hhi")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hlo,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hhi
+          FROM toks
+        ),
+        sums AS (
+          SELECT doc_id, count(*) AS n, {lo_sums}, {hi_sums}
+          FROM hashed GROUP BY doc_id
+        ),
+        sims AS (SELECT doc_id, {lo_sim} AS slo, {hi_sim} AS shi FROM sums)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from docs_indexer_spark.functions.text_quality import LANG_MARKERS
 
@@ -602,14 +673,14 @@ def oracle_sql() -> dict[str, str]:
         "term_df_topn": f"""
             WITH toks AS (SELECT doc_id, unnest({STOKS}) AS term FROM documents),
             postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1,2)
-            SELECT term, count(*) AS df, sum(tf) AS cf
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
             FROM postings GROUP BY term
             ORDER BY df DESC, term LIMIT 100
         """,
         "doc_stats": f"""
             SELECT count(*) AS n_docs,
                    round(avg(len({STOKS})), 6) AS avgdl,
-                   sum(len({STOKS})) AS total_tokens
+                   CAST(sum(len({STOKS})) AS BIGINT) AS total_tokens
             FROM documents
         """,
         "bigram_counts": f"""
@@ -730,8 +801,8 @@ def oracle_sql() -> dict[str, str]:
                      / len(list_distinct(list_concat(a.grams, b.grams))), 6
                    ) AS jaccard
             FROM d a JOIN d b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.grams, b.grams)) * 1.0
-                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+            WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0
+                  / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.015
             ORDER BY doc_a, doc_b
         """,
         "shortcode_strip": """
@@ -815,6 +886,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(c, 6) AS cosine
             FROM p ORDER BY c DESC, id_a, id_b LIMIT 20
         """,
-        # minhash_lsh_pairs / simhash_near_dups: no SQL twin (md5-banding /
-        # xxhash64 not reasonably expressible) → rows-only check.
+        "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "simhash_near_dups": _simhash_oracle(max_hamming=3),
     }

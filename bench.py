@@ -66,8 +66,12 @@ def time_index_build(spark, sf_dir: str) -> tuple[float, int]:
     postings, doclens = rel.postings.persist(), rel.doclens
     n, avgdl = corpus_stats(doclens)
     dfs = df_stats(postings)
-    max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])
-    blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, max_doc_id)
+    id_row = doclens.agg(
+        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
+    ).collect()[0]
+    blocks = spimi.build_blocks(
+        postings, doclens, dfs, n, avgdl, int(id_row["mx"]), int(id_row["mn"])
+    )
     blocks.write.mode("overwrite").format("noop").save()
     return time.time() - t0, n
 

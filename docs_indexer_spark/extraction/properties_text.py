@@ -18,9 +18,10 @@ def collect_properties_text(schema: dict[str, Any]) -> list[str]:
     out: list[str] = []
     if not isinstance(schema, dict):
         return out
-    desc = schema.get("description")
-    if desc:
-        out.append(desc)
+    # the reference appends whenever the key EXISTS (including empty
+    # strings): `if 'description' in schema_dict` — hugo.py:367-368
+    if "description" in schema:
+        out.append(schema["description"])
     for name, child in (schema.get("properties") or {}).items():
         out.append(name)
         out.extend(collect_properties_text(child))

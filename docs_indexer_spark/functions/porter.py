@@ -1,10 +1,15 @@
-"""Porter stemming algorithm (M.F. Porter, 1980) — pure Python.
-
-Implements the original published algorithm ("An algorithm for suffix
-stripping", Program 14(3):130-137), which is what Lucene's
+"""Porter stemming algorithm — pure Python, Martin Porter's reference
+variant (martin.c / porter.c), which is the exact algorithm Lucene's
 ``PorterStemFilter`` (used by the ``english`` analyzer the reference
 configures at /root/reference/mappings/hugo.json:7,49,61) runs after
 possessive-stripping and stopword removal.
+
+The reference implementation departs from the 1980 paper ("An algorithm
+for suffix stripping", Program 14(3):130-137) in two step-2 rules, both
+applied here to keep Lucene parity:
+- ``bli`` → ``ble``   (the paper has ``abli`` → ``able``; e.g. "crumbly"
+  now stems like Lucene does)
+- ``logi`` → ``log``  (added rule; "geology"/"geological" conflate)
 
 This implementation follows the algorithm definition step by step; it is
 deliberately dependency-free so the exact same function object can be used
@@ -110,10 +115,11 @@ def _step1c(w: str) -> str:
 
 _STEP2 = [
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
     ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
 ]
 
 _STEP3 = [

@@ -70,19 +70,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash: str = "xx",
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — minhash over word shingles.
 
-    Permutation i is approximated by md5(i || shingle); the signature entry
-    is the min over shingles.  Fully native (no UDF): transform + array_min
-    inside one projection, so the whole thing is one scan, zero shuffles.
+    Permutation i is approximated by a seeded hash of the shingle; the
+    signature entry is the min over shingles.  Fully native (no UDF):
+    transform + array_min inside one projection, so the whole thing is one
+    scan, zero shuffles.
+
+    ``hash`` picks the seeded hash family:
+    - ``"xx"`` (production): xxhash64(seed, shingle) — ONE cheap JVM hash
+      per (seed, shingle).  Use this at scale.
+    - ``"md5"`` (SQL-parity): first 8 hex chars of md5(f"{seed}:" + shingle)
+      — byte-identical in DuckDB, so the driver oracle can recompute the
+      exact signatures.  16 md5 passes per shingle array; parity plane only.
     """
     sh = word_shingles(text_col, shingle_n)
 
-    def entry(seed: int):
-        return F.array_min(
-            F.transform(sh, lambda s: _h32(F.concat(F.lit(f"{seed}:"), s)))
-        )
+    if hash == "md5":
+        def entry(seed: int):
+            return F.array_min(
+                F.transform(sh, lambda s: _h32(F.concat(F.lit(f"{seed}:"), s)))
+            )
+    else:
+        def entry(seed: int):
+            return F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s))
+            )
 
     sig = F.array(*[entry(i) for i in range(num_hashes)])
     return docs.select(F.col(id_col), sig.alias("sig"))
@@ -92,6 +107,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join on (band, band_key).
 
@@ -99,9 +115,13 @@ def lsh_candidate_pairs(
     doc_a < doc_b.  The join is a shuffle join on the bucket key — the
     scalable formulation (a broadcast would cap corpus size); AQE splits
     skewed buckets (a degenerate all-identical corpus).
+
+    Pass ``num_hashes`` (the signature length) to keep the plan fully lazy;
+    omitted, it is probed with one tiny job.
     """
-    n_hashes_row = signatures.select(F.size("sig").alias("n")).first()
-    rows_per_band = int(n_hashes_row["n"]) // bands
+    if num_hashes is None:
+        num_hashes = int(signatures.select(F.size("sig").alias("n")).first()["n"])
+    rows_per_band = num_hashes // bands
     banded = signatures.select(
         id_col,
         F.explode(
@@ -140,19 +160,34 @@ def lsh_candidate_pairs(
 
 
 def simhash64(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xx",
 ) -> DataFrame:
-    """(doc_id, simhash long): 64-bit simhash over token xxhash64 bits.
+    """(doc_id, simhash long): 64-bit simhash over per-token hash bits.
 
     Bit b of the simhash is 1 iff the majority of tokens have bit b set in
     their 64-bit hash.  Native aggregate: explode tokens → per-bit sums via
     shift/mask → reassemble.  Near-dups are rows with small hamming
-    distance (bit_count(a ^ b)).
+    distance (bit_count(a ^ b)) — find them with
+    :func:`simhash_near_dup_pairs`, never an all-pairs join.
+
+    ``hash="xx"`` (production) uses xxhash64; ``hash="md5"`` derives the 64
+    bits from md5's first 16 hex chars (two 32-bit halves, shift+or) —
+    recomputable in ANSI SQL/DuckDB, so the driver oracle can verify the
+    whole simhash + hamming plane bit-for-bit.
     """
     from docs_indexer_spark.functions.analysis import tokens_col
 
     toks = docs.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    if hash == "md5":
+        md5 = F.md5("tok")
+        hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        hashed = toks.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
+    else:
+        hashed = toks.withColumn("h", F.xxhash64("tok"))
     bit_sums = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -166,6 +201,68 @@ def simhash64(
         term = F.shiftleft(bit.cast("long"), b)
         sim = term if sim is None else sim.bitwiseOR(term)
     return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ max_hamming —
+    WITHOUT an all-pairs join.
+
+    Pigeonhole banding (Manku et al., WWW'07 "Detecting Near-Duplicates
+    for Web Crawling"): split the 64-bit hash into ``max_hamming + 1``
+    disjoint chunks; two hashes within hamming ``k`` must agree EXACTLY on
+    at least one chunk, so an equi-join on (chunk_idx, chunk_value) finds
+    every qualifying pair.  The join is a shuffle hash join whose key space
+    is 2^chunk_bits × chunks — at the default k=3 that is 4 chunks of 16
+    bits, the classic web-dedup configuration.  Exact hamming is verified
+    on the (small) candidate set; higher k widens recall but coarsens the
+    chunks — keep k ≤ 7 (8-bit chunks) or switch to a multi-probe scheme.
+
+    Replaces the O(n²) self-join the naive formulation plans (a cartesian
+    BroadcastNestedLoop at any corpus size — the 100-TB scale-killer).
+    """
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.shiftright(F.col(sim_col), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = sims.select(
+        F.col(id_col), F.col(sim_col), F.explode(chunks).alias("c")
+    ).select(id_col, sim_col, "c.idx", "c.val")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    ham = F.bit_count(
+        F.col(f"l.{sim_col}").bitwiseXOR(F.col(f"r.{sim_col}"))
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.idx") == F.col("r.idx"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard(

@@ -67,12 +67,22 @@ class TokenRelations:
     - ``postings``: (term_id|term, doc_id, tf)
     - ``doclens``:  (doc_id, dl) — post-stopword token count per doc
     - ``terms``:    (term_id, term) dictionary (None in string mode)
+
+    When built with ``cache=True`` the intermediate counts relation is
+    persisted; call :meth:`unpersist` when done with ALL of the outputs,
+    or a long-lived session accumulates cached relations per call.
     """
 
-    def __init__(self, postings, doclens, terms=None):
+    def __init__(self, postings, doclens, terms=None, cached=None):
         self.postings = postings
         self.doclens = doclens
         self.terms = terms
+        self._cached = cached
+
+    def unpersist(self) -> None:
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
     def __iter__(self):  # backwards-compatible unpacking
         return iter((self.postings, self.doclens))
@@ -135,8 +145,9 @@ def token_relations(
     counts = base.select(
         F.col(id_col), F.xxhash64("raw").alias("rid")
     ).groupBy(id_col, "rid").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    cached = None
     if cache:
-        counts = counts.persist()
+        counts = cached = counts.persist()
 
     # vocabulary dictionary: second tokenize pass, but its agg output is
     # vocab-sized (cheaper than caching the 10^12-row exploded relation)
@@ -178,7 +189,7 @@ def token_relations(
 
     if not term_ids:
         postings = postings.join(F.broadcast(terms), "term_id").drop("term_id")
-    return TokenRelations(postings, doclens, terms)
+    return TokenRelations(postings, doclens, terms, cached=cached)
 
 
 def _tokenize_col(text):

@@ -177,6 +177,7 @@ def build_blocks(
     n_docs: int,
     avgdl: float,
     max_doc_id: int,
+    min_doc_id: int = 0,
     params: BM25Params = BM25Params(),
     n_buckets: int | None = None,
     norm_dtype=np.float32,
@@ -203,7 +204,15 @@ def build_blocks(
     if n_buckets is None:
         max_df = int(dfs.agg(F.max("df")).collect()[0][0] or 1)
         n_buckets = min(1024, max(1, -(-max_df // target_run_postings)))
-    span = max(1, (max_doc_id + n_buckets) // n_buckets)
+    # span over the ACTUAL id range: doc_id = xxhash64(url) is negative for
+    # ~half of docs, so a max-only span would double the bucket range (and
+    # an all-negative corpus would overflow the int cast).  The range of
+    # hashed ids can exceed int64 (≈2^64 wide), so the bucket is computed
+    # in double space: long→double is monotone, so buckets remain ordered
+    # disjoint doc_id ranges in [0, n_buckets) — their exact boundaries
+    # don't matter, only ordering + disjointness (WAND and the ordered-
+    # concat merge rely on nothing else).
+    span_d = max(1.0, float(max_doc_id - min_doc_id + 1) / n_buckets)
     # doclens (16 B/doc) is broadcast when the corpus is small enough that
     # shipping it beats shuffling the 10-100x larger postings relation;
     # above the threshold AQE picks the strategy from runtime sizes.  The
@@ -221,7 +230,19 @@ def build_blocks(
                 * (1.0 - params.b + params.b * F.col("dl") / F.lit(avgdl))
             ),
         )
-        .withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
+        .withColumn(
+            "bucket",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col("doc_id").cast("double") - F.lit(float(min_doc_id)))
+                        / F.lit(span_d)
+                    ).cast("int"),
+                ),
+            ),
+        )
         .select(*_COLS)
     )
     if not shuffle_partitions:

@@ -190,9 +190,12 @@ def build_index(
         .agg(F.count(F.lit(1)).alias("df"))
         .join(terms_dict, "term_id")
     )
-    max_doc_id = int(doclens.agg(F.max("doc_id")).collect()[0][0])
+    id_row = doclens.agg(
+        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
+    ).collect()[0]
     blocks = spimi.build_blocks(
-        postings, doclens, dfs, n_docs, avgdl, max_doc_id,
+        postings, doclens, dfs, n_docs, avgdl,
+        int(id_row["mx"]), int(id_row["mn"]),
         params=params, n_buckets=n_buckets,
     )
 
@@ -216,4 +219,8 @@ def build_index(
         "b": params.b,
     }
     catalog.publish(table, gen, fingerprint, metrics)
+    # the staged postings/docs and lineage checkpoints served their purpose
+    # once the generation is live — without this every build leaks a full
+    # copy of its postings under _stage/
+    catalog.cleanup_build(build_id)
     return metrics

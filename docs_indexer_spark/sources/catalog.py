@@ -77,11 +77,28 @@ class SnapshotCatalog:
         os.makedirs(path, exist_ok=True)
         return gen, path
 
+    def _snapshot_log(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "SNAPSHOTS.jsonl")
+
+    def snapshots(self, table: str) -> list[dict]:
+        """Publish history, oldest first (Iceberg snapshot-log analogue)."""
+        p = self._snapshot_log(table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
     def publish(self, table: str, generation: str, fingerprint: str,
-                metrics: dict | None = None) -> None:
-        """Atomic alias swap (reference A19) + old-generation GC."""
+                metrics: dict | None = None, retain: int = 2) -> None:
+        """Atomic alias swap (reference A19) + DEFERRED old-generation GC.
+
+        The previous generation is NOT deleted at swap time — a reader
+        holding its path (an open IndexReader, an in-flight query) keeps a
+        complete index.  Instead the swap appends to a snapshot log and
+        expires generations beyond the newest ``retain`` (current included)
+        — Iceberg's expireSnapshots policy, by count.
+        """
         tdir = self._table_dir(table)
-        old = self.current_generation(table)
         meta = {
             "generation": generation,
             "fingerprint": fingerprint,
@@ -92,8 +109,36 @@ class SnapshotCatalog:
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._pointer_path(table))  # atomic on POSIX
-        if old and old["generation"] != generation:
-            shutil.rmtree(os.path.join(tdir, old["generation"]), ignore_errors=True)
+        with open(self._snapshot_log(table), "a") as f:
+            f.write(json.dumps(meta) + "\n")
+        self.expire_snapshots(table, retain=retain)
+
+    def expire_snapshots(self, table: str, retain: int = 2) -> list[str]:
+        """Delete all but the newest ``retain`` generations; returns the
+        expired generation names.  Never deletes the published one."""
+        log = self.snapshots(table)
+        current = self.current_generation(table)
+        cur_gen = current["generation"] if current else None
+        seen: list[str] = []
+        for rec in log:  # oldest → newest; keep last occurrence order
+            g = rec["generation"]
+            if g in seen:
+                seen.remove(g)
+            seen.append(g)
+        to_expire = [g for g in seen[:-retain] if retain > 0 and g != cur_gen] \
+            if len(seen) > retain else []
+        for g in to_expire:
+            shutil.rmtree(os.path.join(self._table_dir(table), g),
+                          ignore_errors=True)
+        return to_expire
+
+    def cleanup_build(self, build_id: str) -> None:
+        """Remove a finished build's staged partials and lineage
+        checkpoints (they otherwise leak a full postings copy per build)."""
+        shutil.rmtree(os.path.join(self.root, "_stage", build_id),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, "_checkpoints", build_id),
+                      ignore_errors=True)
 
     def read(self, spark: SparkSession, table: str, name: str) -> DataFrame:
         gen_path = self.generation_path(table)

@@ -90,8 +90,9 @@ def main() -> None:
         postings, doclens = token_relations(docs, "text", analyzer=args.analyzer)
         n, avgdl = corpus_stats(doclens)
         dfs = df_stats(postings)
-        mx = int(doclens.agg(F.max("doc_id")).collect()[0][0])
-        blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, mx)
+        ids = doclens.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")).collect()[0]
+        blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl,
+                                    int(ids["mx"]), int(ids["mn"]))
         blocks.write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         print(json.dumps({

@@ -42,6 +42,13 @@ PORTER_VECTORS = {
     "angulariti": "angular", "homologous": "homolog", "effective": "effect",
     "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
     "cease": "ceas", "controll": "control", "roll": "roll",
+    # martin.c / Lucene departures from the 1980 paper (pinned variant):
+    # step2 "bli"->"ble" (paper: "abli"->"able") and added "logi"->"log".
+    # Under the paper rules these would stem to "crumbli"/"archaeologi".
+    "crumbly": "crumbl", "archaeology": "archaeolog",
+    # "geology" stays "geologi": the logi rule needs m(stem)>0 and
+    # m("geo")=0 — same in martin.c, so this pins the condition too.
+    "geology": "geologi", "geological": "geolog",
 }
 
 

@@ -56,9 +56,9 @@ def index(spark, documents):
     doclens = doc_lengths(toks).cache()
     n, avgdl = corpus_stats(doclens)
     dfs = df_stats(postings)
-    max_doc_id = doclens.agg(F.max("doc_id")).collect()[0][0]
+    ids = doclens.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")).collect()[0]
     blocks = spimi.build_blocks(
-        postings, doclens, dfs, n, avgdl, max_doc_id, n_buckets=8
+        postings, doclens, dfs, n, avgdl, int(ids["mx"]), int(ids["mn"]), n_buckets=8
     ).cache()
     idf_rows = (
         dfs.withColumn("idf", idf_col(F.col("df"), n))

@@ -79,8 +79,16 @@ def test_atomic_publish_swaps_generation(spark, documents, catalog):
     cur = catalog.current_generation("index")
     assert cur["fingerprint"] == "fp-b"
     assert cur["generation"] != gen_a
-    # old generation GC'd (reference deletes old alias target, blog.py:145-158)
     import os
 
+    # GC is DEFERRED (retain=2): the previous generation survives the swap
+    # so in-flight readers keep a complete index...
+    assert os.path.exists(os.path.join(catalog.root, "index", gen_a))
+    # ...and expires once it falls out of the retained window.
+    build_index(spark, documents.filter(F.col("doc_id") < 50), catalog,
+                fingerprint="fp-c", id_col="doc_id", n_build_partitions=1)
     assert not os.path.exists(os.path.join(catalog.root, "index", gen_a))
-    assert IndexReader(spark, catalog).n_docs == 100
+    # staged partials + checkpoints are cleaned after a successful publish
+    stage_root = os.path.join(catalog.root, "_stage")
+    assert not os.path.isdir(stage_root) or os.listdir(stage_root) == []
+    assert IndexReader(spark, catalog).n_docs == 50

@@ -62,6 +62,52 @@ def test_simhash_hamming(spark, dup_docs):
     assert ham02 < ham05  # near dup closer than unrelated
 
 
+@pytest.mark.parametrize("hash_family", ["xx", "md5"])
+@pytest.mark.parametrize("max_hamming", [3, 7])
+def test_simhash_banded_equals_all_pairs(spark, hash_family, max_hamming):
+    """The pigeonhole-banded equi-join must return EXACTLY the pair set of
+    the naive all-pairs formulation (recall is guaranteed by construction;
+    precision by the exact-hamming verify)."""
+    from docs_indexer_spark.operators.dedup import simhash64, simhash_near_dup_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+    )
+    sims = simhash64(docs, hash=hash_family).persist()
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(sims, max_hamming=max_hamming).collect()
+    }
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    naive = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+    sims.unpersist()
+    assert banded == naive
+    assert len(naive) > 0  # fixture must exercise the operator
+
+
+def test_minhash_hash_families_agree_on_exact_dups(spark, dup_docs):
+    """xx and md5 signature families differ in values but must both give
+    identical signatures to identical texts."""
+    from docs_indexer_spark.operators.dedup import minhash_signatures
+
+    for fam in ("xx", "md5"):
+        sigs = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures(dup_docs, num_hashes=8, hash=fam).collect()
+        }
+        assert sigs[0] == sigs[1], fam
+        assert sigs[0] != sigs[3], fam
+
+
 def test_ngram_jaccard(spark, dup_docs):
     from docs_indexer_spark.operators.dedup import ngram_jaccard
 
