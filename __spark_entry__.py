@@ -362,12 +362,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs on a doc_id<60 slice."""
-    from docs_indexer_spark.functions.analysis import tokens_col
-    from docs_indexer_spark.operators.dedup import word_shingles
+    from docs_indexer_spark.operators.dedup import with_word_shingles
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    sets_df = docs.select(
-        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("grams")
+    sets_df = with_word_shingles(docs, "text", 3, out_col="_sh", keep=["doc_id"]).select(
+        "doc_id", F.array_distinct("_sh").alias("grams")
     )
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))

@@ -49,11 +49,19 @@ def exact_duplicates(
     )
 
 
-def word_shingles(text_col, n: int = 3):
-    """n-word shingles as array<string> (native)."""
-    from docs_indexer_spark.functions.analysis import tokens_col
+def shingles_from_tokens(toks, n: int = 3):
+    """n-word shingles as array<string> over an ALREADY-MATERIALIZED token
+    array column.
 
-    toks = tokens_col(text_col) if isinstance(text_col, str) else text_col
+    ``toks`` must be a plain column reference (an attribute), never an
+    inline tokenizer expression: the lambda body re-evaluates every outer
+    expression it references PER ELEMENT (higher-order functions run on the
+    interpreted eval path with no subexpression elimination), so an inline
+    ``tokens_col(text)`` here re-tokenizes the whole document once per
+    shingle — measured ~16 ms/doc instead of ~0.1 ms.  Use
+    :func:`with_word_shingles` to get the projection barriers right.
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
     size = F.size(toks)
     return F.when(
         size >= n,
@@ -62,6 +70,40 @@ def word_shingles(text_col, n: int = 3):
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def with_word_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """(keep..., shingles array<string>) with the token array materialized
+    as an attribute between tokenize and the shingling HOF (see
+    :func:`shingles_from_tokens` for why the barrier matters).  The token
+    column is referenced more than once inside the shingle expression, so
+    CollapseProject keeps the barrier in place."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    from docs_indexer_spark.session import spread
+
+    keep = keep if keep is not None else [c for c in docs.columns if c != text_col]
+    toks_df = spread(docs).select(*keep, tokens_col(text_col).alias("_toks"))
+    return toks_df.select(
+        *keep, shingles_from_tokens(F.col("_toks"), n).alias(out_col)
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """DEPRECATED inline form — tokenizes inside the shingle HOF, which
+    re-runs the tokenizer per shingle (see :func:`shingles_from_tokens`).
+    Kept for expression-level callers on tiny slices; every operator in
+    this module uses :func:`with_word_shingles` instead."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(text_col) if isinstance(text_col, str) else text_col
+    return shingles_from_tokens(toks, n)
 
 
 def minhash_signatures(
@@ -86,7 +128,10 @@ def minhash_signatures(
       — byte-identical in DuckDB, so the driver oracle can recompute the
       exact signatures.  16 md5 passes per shingle array; parity plane only.
     """
-    sh = word_shingles(text_col, shingle_n)
+    shingled = with_word_shingles(
+        docs, text_col, shingle_n, out_col="_sh", keep=[id_col]
+    )
+    sh = F.col("_sh")
 
     if hash == "md5":
         def entry(seed: int):
@@ -100,7 +145,7 @@ def minhash_signatures(
             )
 
     sig = F.array(*[entry(i) for i in range(num_hashes)])
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    return shingled.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -179,8 +224,11 @@ def simhash64(
     whole simhash + hamming plane bit-for-bit.
     """
     from docs_indexer_spark.functions.analysis import tokens_col
+    from docs_indexer_spark.session import spread
 
-    toks = docs.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    toks = spread(docs, key=id_col).select(
+        id_col, F.explode(tokens_col(text_col)).alias("tok")
+    )
     if hash == "md5":
         md5 = F.md5("tok")
         hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
@@ -243,7 +291,11 @@ def simhash_near_dup_pairs(
     banded = sims.select(
         F.col(id_col), F.col(sim_col), F.explode(chunks).alias("c")
     ).select(id_col, sim_col, "c.idx", "c.val")
-    left = banded.alias("l")
+    # force a shuffle join: both sides are the SAME plan exchanging on the
+    # same key, so Spark reuses one exchange and the (expensive) simhash
+    # aggregation runs once — a broadcast join would recompute it per side,
+    # and broadcasting the banded corpus is wrong at scale anyway
+    left = banded.alias("l").hint("shuffle_hash")
     right = banded.alias("r")
     ham = F.bit_count(
         F.col(f"l.{sim_col}").bitwiseXOR(F.col(f"r.{sim_col}"))
@@ -278,10 +330,9 @@ def ngram_jaccard(
     native array functions.  Meant for the (small) LSH candidate set — this
     is the verify stage, not the discovery stage.
     """
-    sets_df = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, n)).alias("grams"),
-    )
+    sets_df = with_word_shingles(
+        docs, text_col, n, out_col="_sh", keep=[id_col]
+    ).select(F.col(id_col), F.array_distinct("_sh").alias("grams"))
     a = sets_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("grams", "ga")
     b = sets_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("grams", "gb")
     joined = pairs.join(a, "doc_a").join(b, "doc_b")

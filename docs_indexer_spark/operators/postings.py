@@ -47,6 +47,9 @@ def with_tokens(
     ``english`` (possessive + stopword + Porter) runs as an Arrow-batched
     pandas UDF — the per-token stemmer is the only Python in the build path.
     """
+    from docs_indexer_spark.session import spread
+
+    docs = spread(docs)
     if analyzer == "simple":
         return docs.withColumn(out_col, tokens_col(text_col))
     if analyzer == "stop":
@@ -132,6 +135,9 @@ def token_relations(
     """
     from pyspark.sql.types import StringType
 
+    from docs_indexer_spark.session import spread
+
+    docs = spread(docs)
     if analyzer == "english":
         toks = _tokenize_col(F.col(text_col))
     else:

@@ -41,3 +41,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def spread(df, min_partitions: int | None = None, key: str | None = None):
+    """Ensure a compute-heavy map stage has at least core-count partitions.
+
+    A small parquet input scans as a handful of partitions (often ONE —
+    parquet can't split below a row group), which serializes every
+    tokenizer / hash / HOF map fused above it no matter how many cores the
+    executor has.  At the 100-TB target the scan has thousands of
+    partitions and this is a no-op; the repartition only fires when the
+    input is narrower than the session's parallelism, so it never adds a
+    shuffle at scale.  The partition probe builds lineage only — no job.
+
+    Pass ``key`` (a column name) when the result feeds both sides of a
+    self-join: hash partitioning is deterministic, so the two subtrees stay
+    canonically equal and Spark's ReusedExchange computes them ONCE; a
+    round-robin repartition is non-deterministic and defeats the reuse.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:  # rdd-lint: allow
+        if key is not None and key in df.columns:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, F.col(key))
+        return df.repartition(target)
+    return df

@@ -24,9 +24,17 @@ def test_no_row_at_a_time_udf():
 
 
 def test_no_rdd_api():
+    """No RDD compute API.  A line may carry ``# rdd-lint: allow`` for the
+    one sanctioned use: ``.rdd.getNumPartitions()`` as a plan-level
+    partition-count probe (builds lineage, runs no job, moves no data)."""
     for path in _sources():
-        text = path.read_text()
-        assert not RDD_RE.search(text), f"RDD API in {path}"
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if "rdd-lint: allow" in line:
+                assert ".getNumPartitions()" in line, (
+                    f"rdd-lint pragma only covers partition probes: {path}:{i}"
+                )
+                continue
+            assert not RDD_RE.search(line), f"RDD API in {path}:{i}"
 
 
 def test_no_driver_side_collect_loops():
