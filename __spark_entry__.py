@@ -412,6 +412,56 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(sims, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
+PHRASE = ["merge", "sort"]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase query over positional postings (reference term_vector
+    with_positions_offsets, mappings/hugo.json:6,48,60; SURVEY §2 B6):
+    docs where 'merge sort' occurs with adjacent positions."""
+    from docs_indexer_spark.operators.phrase import (
+        phrase_occurrences,
+        token_positions,
+    )
+
+    docs = _docs(spark, sf_dir)
+    postings = token_positions(docs, analyzer="simple")
+    return phrase_occurrences(postings, PHRASE).orderBy("doc_id")
+
+
+def q_phrase_match_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query answered through the COMPRESSED positional block
+    index (positions_bin delta-varint stream) — same oracle, so the driver
+    gate certifies the whole positional compression plane."""
+    from docs_indexer_spark.operators import spimi
+    from docs_indexer_spark.operators.phrase import (
+        phrase_match_blocks,
+        token_positions,
+    )
+    from docs_indexer_spark.operators.postings import corpus_stats
+
+    docs = _docs(spark, sf_dir)
+    postings = token_positions(docs, analyzer="simple").withColumn(
+        "term_id", F.xxhash64("term")
+    )
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+    n, avgdl = corpus_stats(doclens)
+    dfs = postings.groupBy("term_id").agg(F.count(F.lit(1)).alias("df"))
+    ids = doclens.agg(
+        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
+    ).collect()[0]
+    blocks = spimi.build_blocks(
+        postings.select("term_id", "doc_id", "tf", "positions"),
+        doclens, dfs, n, avgdl, int(ids["mx"]), int(ids["mn"]),
+        n_buckets=8, positions=True,
+    )
+    row = spark.range(1).select(
+        *[F.xxhash64(F.lit(t)).alias(f"t{i}") for i, t in enumerate(PHRASE)]
+    ).collect()[0]
+    tids = [int(row[f"t{i}"]) for i in range(len(PHRASE))]
+    return phrase_match_blocks(blocks, tids).orderBy("doc_id")
+
+
 def q_shortcode_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hugo shortcode strip as a native regexp (reference A7,
     hugo.py:54-57): wrap each text in shortcode tags, strip, prove the
@@ -507,6 +557,54 @@ def q_suggest_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MISSPELLED = "tabel scann"
+
+
+def q_suggest_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end phrase suggester (reference common.py:9-19 'did you
+    mean'): Levenshtein candidate generation over the corpus vocabulary +
+    smoothed bigram-LM scoring; expects 'table scan' to win."""
+    from docs_indexer_spark.operators.suggest import suggest_correction
+
+    return suggest_correction(_docs(spark, sf_dir), MISSPELLED, k=5)
+
+
+def _suggest_oracle(q0: str, q1: str, max_edits: int = 2, penalty: float = 1.0) -> str:
+    return f"""
+        WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
+        vocab AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+        stats AS (SELECT CAST(sum(cf) AS DOUBLE) AS T,
+                         CAST(count(*) AS DOUBLE) AS V FROM vocab),
+        d AS (SELECT {TOKS} AS arr FROM documents),
+        bi AS (
+          SELECT arr[i] AS w1, arr[i+1] AS w2, count(*) AS bc
+          FROM d, unnest(range(1, len(arr))) t(i) GROUP BY 1, 2
+        ),
+        c0 AS (
+          SELECT term AS c0, cf AS cf0, levenshtein(term, '{q0}') AS d0
+          FROM vocab
+          WHERE abs(length(term) - {len(q0)}) <= {max_edits}
+            AND levenshtein(term, '{q0}') <= {max_edits}
+        ),
+        c1 AS (
+          SELECT term AS c1, cf AS cf1, levenshtein(term, '{q1}') AS d1
+          FROM vocab
+          WHERE abs(length(term) - {len(q1)}) <= {max_edits}
+            AND levenshtein(term, '{q1}') <= {max_edits}
+        ),
+        pairs AS (
+          SELECT c0.c0, c1.c1,
+                 ln((cf0 + 0.5) / (T + 0.5 * V))
+                 + ln((coalesce(bc, 0) + 0.5) / (cf0 + 0.5 * V))
+                 - {penalty} * (d0 + d1) AS s
+          FROM c0 CROSS JOIN c1 CROSS JOIN stats
+          LEFT JOIN bi ON bi.w1 = c0.c0 AND bi.w2 = c1.c1
+        )
+        SELECT c0 || ' ' || c1 AS suggestion, round(s, 6) AS score
+        FROM pairs ORDER BY score DESC, suggestion LIMIT 5
+    """
+
+
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures with an exact SQL twin (md5-derived hashes are
     identical in Spark and DuckDB)."""
@@ -567,13 +665,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
+        "phrase_match": q_phrase_match,
+        "phrase_match_blocks": q_phrase_match_blocks,
         "shortcode_strip": q_shortcode_strip,
         "date_parse_fallback": q_date_parse_fallback,
         "multifield_stats": q_multifield_stats,
         "suggest_bigrams": q_suggest_bigrams,
+        "suggest_correction": q_suggest_correction,
         "minhash_sigs": q_minhash_sigs,
         "embedding_pair_cosine": q_embedding_pair_cosine,
     }
+
+
+def _phrase_oracle(terms: list[str]) -> str:
+    """DuckDB twin of the phrase queries: positions via unnest(range) over
+    the token array, adjacency via (doc_id, shifted pos) INTERSECT — pairs
+    are unique so INTERSECT's set semantics lose nothing."""
+    selects = [
+        f"SELECT doc_id, pos - {i} AS pos FROM toks WHERE term = '{t}'"
+        for i, t in enumerate(terms)
+    ]
+    inter = "\n          INTERSECT\n          ".join(selects)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, arr[i] AS term, i - 1 AS pos
+          FROM (SELECT doc_id, {TOKS} AS arr FROM documents),
+               unnest(range(1, len(arr) + 1)) t(i)
+        ),
+        hits AS (
+          {inter}
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_occurrences,
+               CAST(min(pos) AS INT) AS first_pos
+        FROM hits GROUP BY doc_id ORDER BY doc_id
+    """
 
 
 def _minhash_lsh_oracle() -> str:
@@ -887,4 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash_near_dups": _simhash_oracle(max_hamming=3),
+        "phrase_match": _phrase_oracle(PHRASE),
+        "phrase_match_blocks": _phrase_oracle(PHRASE),
+        "suggest_correction": _suggest_oracle(*MISSPELLED.split()),
     }

@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "minhash_lsh_pairs",
     "simhash_near_dups",
+    "phrase_match",
+    "phrase_match_blocks",
+    "suggest_correction",
 ]
 
 

@@ -54,14 +54,38 @@ BLOCKS_SCHEMA = (
     "first_doc_id long, last_doc_id long, max_tf int, max_score double, "
     "doc_ids_bin binary, tfs_bin binary, tf_norms_bin binary"
 )
+# opt-in positional stream (reference mapping term_vector
+# with_positions_offsets, mappings/hugo.json:6,48,60): per posting, the
+# delta-gapped varint positions (first absolute); per-posting counts are
+# NOT stored — they equal the decoded tfs, so the payload is pure gaps
+BLOCKS_POS_SCHEMA = BLOCKS_SCHEMA + ", positions_bin binary"
 
 # kernel output before the block-level idf join
 _RAW_BLOCKS_SCHEMA = BLOCKS_SCHEMA.replace("max_score", "max_norm")
+_RAW_BLOCKS_POS_SCHEMA = BLOCKS_POS_SCHEMA.replace("max_score", "max_norm")
 
 _COLS = ["term_id", "bucket", "doc_id", "tf", "tf_norm"]
 
 
-def _encode_runs(cols: dict, norm_dtype) -> pa.RecordBatch:
+def _encode_positions(pos_vals, pos_lens, bs, be):
+    """Positions payload per block: the per-posting position lists arrive
+    flattened (``pos_vals``) with per-posting counts (``pos_lens``); gaps
+    are taken WITHIN each posting (absolute at each posting start), varint-
+    encoded in one vectorized pass, and the single stream is sliced per
+    block by posting-aligned byte offsets."""
+    vals = pos_vals.astype(np.int64, copy=False)
+    starts = np.concatenate(([0], np.cumsum(pos_lens)))[:-1].astype(np.int64)
+    gaps = np.empty(len(vals), dtype=np.uint64)
+    if len(vals):
+        gaps[1:] = np.diff(vals).astype(np.uint64)
+        gaps[starts] = vals[starts].astype(np.uint64)
+    stream, vlens = varint_encode_with_lengths(gaps)
+    pp_bytes = np.add.reduceat(vlens, starts) if len(vals) else np.zeros(0, np.int64)
+    pb_off = np.concatenate(([0], np.cumsum(pp_bytes)))
+    return [stream[pb_off[s]: pb_off[e]] for s, e in zip(bs, be)]
+
+
+def _encode_runs(cols: dict, norm_dtype, pos=None) -> pa.RecordBatch:
     """Encode every (term, bucket) run of a sorted column batch into block
     rows.
 
@@ -121,40 +145,59 @@ def _encode_runs(cols: dict, norm_dtype) -> pa.RecordBatch:
     norm_bytes = np.ascontiguousarray(norms).tobytes()
     isz = norms.dtype.itemsize
 
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array(terms[bs], type=pa.int64()),
-            pa.array(buckets[bs].astype(np.int32), type=pa.int32()),
-            pa.array(seqs.astype(np.int32), type=pa.int32()),
-            pa.array((be - bs).astype(np.int32), type=pa.int32()),
-            pa.array(ids[bs], type=pa.int64()),
-            pa.array(ids[be - 1], type=pa.int64()),
-            pa.array(np.maximum.reduceat(tfs, bs).astype(np.int32), type=pa.int32()),
-            pa.array(np.maximum.reduceat(fnorms, bs), type=pa.float64()),
-            pa.array([id_stream[id_off[s]: id_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
-            pa.array([tf_stream[tf_off[s]: tf_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
-            pa.array([norm_bytes[s * isz: e * isz] for s, e in zip(bs, be)], type=pa.binary()),
-        ],
-        names=[
-            "term_id", "bucket", "block_seq", "n_docs", "first_doc_id",
-            "last_doc_id", "max_tf", "max_norm", "doc_ids_bin", "tfs_bin",
-            "tf_norms_bin",
-        ],
-    )
+    arrays = [
+        pa.array(terms[bs], type=pa.int64()),
+        pa.array(buckets[bs].astype(np.int32), type=pa.int32()),
+        pa.array(seqs.astype(np.int32), type=pa.int32()),
+        pa.array((be - bs).astype(np.int32), type=pa.int32()),
+        pa.array(ids[bs], type=pa.int64()),
+        pa.array(ids[be - 1], type=pa.int64()),
+        pa.array(np.maximum.reduceat(tfs, bs).astype(np.int32), type=pa.int32()),
+        pa.array(np.maximum.reduceat(fnorms, bs), type=pa.float64()),
+        pa.array([id_stream[id_off[s]: id_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
+        pa.array([tf_stream[tf_off[s]: tf_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
+        pa.array([norm_bytes[s * isz: e * isz] for s, e in zip(bs, be)], type=pa.binary()),
+    ]
+    names = [
+        "term_id", "bucket", "block_seq", "n_docs", "first_doc_id",
+        "last_doc_id", "max_tf", "max_norm", "doc_ids_bin", "tfs_bin",
+        "tf_norms_bin",
+    ]
+    if pos is not None:
+        arrays.append(
+            pa.array(_encode_positions(pos[0], pos[1], bs, be), type=pa.binary())
+        )
+        names.append("positions_bin")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def _make_kernel(norm_dtype):
+def _make_kernel(norm_dtype, positions: bool = False):
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         carry: dict | None = None
+        pos_carry = None  # (flat values, per-row lengths)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            names = batch.schema.names
             cols = {
                 name: batch.column(j).to_numpy(zero_copy_only=False)
-                for j, name in enumerate(batch.schema.names)
+                for j, name in enumerate(names)
+                if name != "positions"
             }
+            pos = None
+            if positions:
+                la = batch.column(names.index("positions"))
+                pos = (
+                    la.flatten().to_numpy(zero_copy_only=False).astype(np.int64),
+                    la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64),
+                )
             if carry is not None:
                 cols = {k: np.concatenate([carry[k], cols[k]]) for k in cols}
+                if positions:
+                    pos = (
+                        np.concatenate([pos_carry[0], pos[0]]),
+                        np.concatenate([pos_carry[1], pos[1]]),
+                    )
             # hold back the trailing (term_id, bucket) run — it may
             # continue in the next Arrow batch of this partition; the run
             # is a suffix because input is sorted by (term_id, bucket)
@@ -162,10 +205,19 @@ def _make_kernel(norm_dtype):
             tail = (t == t[-1]) & (b == b[-1])
             split = len(t) - int(tail.sum())
             if split:
-                yield _encode_runs({k: v[:split] for k, v in cols.items()}, norm_dtype)
+                head_pos = None
+                if positions:
+                    vsplit = int(pos[1][:split].sum())
+                    head_pos = (pos[0][:vsplit], pos[1][:split])
+                yield _encode_runs(
+                    {k: v[:split] for k, v in cols.items()}, norm_dtype, head_pos
+                )
             carry = {k: v[split:] for k, v in cols.items()}
+            if positions:
+                vsplit = int(pos[1][:split].sum())
+                pos_carry = (pos[0][vsplit:], pos[1][split:])
         if carry is not None and len(carry["term_id"]):
-            yield _encode_runs(carry, norm_dtype)
+            yield _encode_runs(carry, norm_dtype, pos_carry if positions else None)
 
     return kernel
 
@@ -183,8 +235,14 @@ def build_blocks(
     norm_dtype=np.float32,
     shuffle_partitions: int | None = None,
     target_run_postings: int = 1_000_000,
+    positions: bool = False,
 ) -> DataFrame:
     """(term, doc_id, tf) ⨝ dl ⨝ df → compressed block index.
+
+    ``positions=True`` expects a ``positions array<int>`` column on the
+    postings relation (see operators/phrase.token_positions) and emits a
+    ``positions_bin`` delta-varint stream per block — the term_vector
+    with_positions analogue; per-posting counts equal the tfs.
 
     ``n_buckets`` defaults to ADAPTIVE: ceil(max(df) / target_run_postings)
     clamped to [1, 1024].  The bucket count trades head-term task size
@@ -243,7 +301,7 @@ def build_blocks(
                 ),
             ),
         )
-        .select(*_COLS)
+        .select(*(_COLS + ["positions"] if positions else _COLS))
     )
     if not shuffle_partitions:
         # explicit N: a bare repartition(cols) is AQE-coalesced toward
@@ -255,7 +313,10 @@ def build_blocks(
         shuffle_partitions = max(sc.defaultParallelism * 2, 16)
     part = enriched.repartition(shuffle_partitions, "term_id", "bucket")
     sorted_part = part.sortWithinPartitions("term_id", "bucket", "doc_id")
-    raw = sorted_part.mapInArrow(_make_kernel(norm_dtype), schema=_RAW_BLOCKS_SCHEMA)
+    raw = sorted_part.mapInArrow(
+        _make_kernel(norm_dtype, positions=positions),
+        schema=_RAW_BLOCKS_POS_SCHEMA if positions else _RAW_BLOCKS_SCHEMA,
+    )
     idf_tbl = dfs.select(
         "term_id", idf_col(F.col("df"), n_docs).alias("_idf")
     )
@@ -265,6 +326,64 @@ def build_blocks(
         raw.join(idf_tbl, "term_id")
         .withColumn("max_score", F.col("max_norm") * F.col("_idf"))
         .drop("max_norm", "_idf")
+    )
+
+
+def decode_position_blocks(blocks: DataFrame) -> DataFrame:
+    """Block index (positions=True) → (term_id, doc_id, positions) rows.
+
+    Used by the phrase plane: the caller filters term_id IN (phrase terms)
+    FIRST so the parquet scan prunes to the handful of terms' blocks; the
+    decode is a vectorized mapInArrow (per-block numpy, never per-posting
+    Python).  Positions un-delta by segmented cumsum keyed on the tf runs.
+    """
+    from docs_indexer_spark.operators.compression import (
+        delta_decode_doc_ids,
+        varint_decode,
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            col = {n: batch.column(names.index(n)) for n in
+                   ("term_id", "doc_ids_bin", "tfs_bin", "positions_bin")}
+            out_tid, out_ids, out_vals, out_offs = [], [], [], [0]
+            for r in range(batch.num_rows):
+                ids = delta_decode_doc_ids(col["doc_ids_bin"][r].as_py())
+                tfs = varint_decode(col["tfs_bin"][r].as_py()).astype(np.int64)
+                gaps = varint_decode(
+                    col["positions_bin"][r].as_py()
+                ).astype(np.int64)
+                starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+                c = np.cumsum(gaps)
+                base = c[starts] - gaps[starts]
+                pos = c - np.repeat(base, tfs)
+                tid = col["term_id"][r].as_py()
+                out_tid.append(np.full(len(ids), tid, dtype=np.int64))
+                out_ids.append(ids)
+                out_vals.append(pos)
+                last = out_offs[-1]
+                out_offs.extend((last + np.cumsum(tfs)).tolist())
+            tids = np.concatenate(out_tid)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tids, type=pa.int64()),
+                    pa.array(np.concatenate(out_ids), type=pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(out_offs, type=pa.int32()),
+                        pa.array(
+                            np.concatenate(out_vals).astype(np.int32),
+                            type=pa.int32(),
+                        ),
+                    ),
+                ],
+                names=["term_id", "doc_id", "positions"],
+            )
+
+    return blocks.mapInArrow(
+        kernel, schema="term_id long, doc_id long, positions array<int>"
     )
 
 

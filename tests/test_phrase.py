@@ -1,0 +1,156 @@
+"""Positional postings, block positions roundtrip, phrase matching
+(reference term_vector with_positions_offsets, mappings/hugo.json:6,48,60)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docs_indexer_spark.operators.phrase import (
+    phrase_match_blocks,
+    phrase_occurrences,
+    token_positions,
+)
+
+
+@pytest.fixture(scope="module")
+def phrase_docs(spark):
+    rows = [
+        (0, "merge sort beats bubble sort on merge sort workloads"),
+        (1, "sort merge join is not merge sort"),
+        (2, "the quick merge then a sort"),          # no adjacency
+        (3, "merge sort"),
+        (4, "sort sort sort"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_positions_simple(spark, phrase_docs):
+    pos = {
+        (r["term"], r["doc_id"]): (r["tf"], r["positions"])
+        for r in token_positions(phrase_docs).collect()
+    }
+    assert pos[("merge", 0)] == (2, [0, 6])
+    assert pos[("sort", 0)] == (3, [1, 4, 7])
+    assert pos[("sort", 4)] == (3, [0, 1, 2])
+    assert ("", 5) not in pos
+
+
+def test_token_positions_stop_keeps_increments(spark, phrase_docs):
+    """Stopword removal must NOT compact positions (Lucene position
+    increments): in doc 2, 'quick' stays at index 1 ('the' removed)."""
+    pos = {
+        (r["term"], r["doc_id"]): r["positions"]
+        for r in token_positions(phrase_docs, analyzer="stop").collect()
+    }
+    assert pos[("quick", 2)] == [1]
+    assert pos[("merge", 2)] == [2]
+    assert ("the", 2) not in pos
+
+
+def test_phrase_occurrences(spark, phrase_docs):
+    postings = token_positions(phrase_docs).persist()
+    hits = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_occurrences(postings, ["merge", "sort"]).collect()
+    }
+    assert hits == {0: (2, 0), 1: (1, 5), 3: (1, 0)}
+    # repeated-term phrase
+    rep = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_occurrences(postings, ["sort", "sort"]).collect()
+    }
+    assert rep == {4: 2}
+    # three-term phrase
+    tri = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_occurrences(postings, ["merge", "sort", "beats"]).collect()
+    }
+    assert tri == {0: 1}
+    postings.unpersist()
+
+
+def _build_pos_blocks(spark, docs, n_buckets=4):
+    from docs_indexer_spark.operators import spimi
+    from docs_indexer_spark.operators.postings import corpus_stats
+
+    postings = token_positions(docs).withColumn(
+        "term_id", F.xxhash64("term")
+    )
+    doclens = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+    n, avgdl = corpus_stats(doclens)
+    dfs = postings.groupBy("term_id").agg(F.count(F.lit(1)).alias("df"))
+    ids = doclens.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")).collect()[0]
+    blocks = spimi.build_blocks(
+        postings.select("term_id", "doc_id", "tf", "positions"),
+        doclens, dfs, n, avgdl, int(ids["mx"]), int(ids["mn"]),
+        n_buckets=n_buckets, positions=True,
+    )
+    return blocks
+
+
+def test_position_blocks_roundtrip(spark, phrase_docs):
+    """Decoded (term_id, doc_id, positions) must equal the uncompressed
+    positional postings exactly."""
+    from docs_indexer_spark.operators.spimi import decode_position_blocks
+
+    postings = token_positions(phrase_docs).withColumn(
+        "term_id", F.xxhash64("term")
+    )
+    want = {
+        (r["term_id"], r["doc_id"]): list(r["positions"])
+        for r in postings.collect()
+    }
+    blocks = _build_pos_blocks(spark, phrase_docs)
+    got = {
+        (r["term_id"], r["doc_id"]): list(r["positions"])
+        for r in decode_position_blocks(blocks).collect()
+    }
+    assert got == want
+
+
+def test_position_blocks_roundtrip_corpus(spark):
+    """Roundtrip across real block boundaries: sf0.001 corpus has head
+    terms with df ~900 ≫ BLOCK_SIZE, so multi-block chains + bucket splits
+    are exercised."""
+    from docs_indexer_spark.operators.spimi import decode_position_blocks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    postings = token_positions(docs).withColumn("term_id", F.xxhash64("term"))
+    want = {
+        (r["term_id"], r["doc_id"]): list(r["positions"])
+        for r in postings.collect()
+    }
+    blocks = _build_pos_blocks(spark, docs, n_buckets=8)
+    got = {
+        (r["term_id"], r["doc_id"]): list(r["positions"])
+        for r in decode_position_blocks(blocks).collect()
+    }
+    assert got == want
+
+
+def test_phrase_match_blocks_equals_postings(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    postings = token_positions(docs)
+    phrase = ["merge", "sort"]
+    want = {
+        (r["doc_id"], r["n_occurrences"], r["first_pos"])
+        for r in phrase_occurrences(postings, phrase).collect()
+    }
+    assert want, "fixture phrase must occur"
+    blocks = _build_pos_blocks(spark, docs, n_buckets=8)
+    tids = [
+        spark.createDataFrame([(t,)], "t string")
+        .select(F.xxhash64("t"))
+        .collect()[0][0]
+        for t in phrase
+    ]
+    got = {
+        (r["doc_id"], r["n_occurrences"], r["first_pos"])
+        for r in phrase_match_blocks(blocks, tids).collect()
+    }
+    assert got == want
