@@ -31,38 +31,48 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from docs_indexer_spark.session import get_spark
-from docs_indexer_spark.operators import spimi
-from docs_indexer_spark.operators.postings import (
-    corpus_stats, df_stats, token_relations)
+from docs_indexer_spark.operators.fused import fused_build_blocks
 
 spark = get_spark(master="local[{cores}]", shuffle_partitions={shuffle})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({input!r})
 docs.count()  # warm the scan; we time compute, not first-touch page cache
 t0 = time.time()
-rel = token_relations(docs, "text", analyzer="english", term_ids=True)
-postings, doclens = rel.postings.persist(), rel.doclens
-n, avgdl = corpus_stats(doclens)
-dfs = df_stats(postings)
-ids = doclens.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")).collect()[0]
-blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl, int(ids["mx"]), int(ids["mn"]))
-blocks.write.mode("overwrite").format("noop").save()
-dt = time.time() - t0
-print(json.dumps({{"cores": {cores}, "sec": dt, "n_docs": n,
-                   "docs_per_sec": n / dt}}))
+# stage 1: vocabulary dictionary + corpus stats (vocab-sized aggregations;
+# fused_build_blocks runs these jobs eagerly in its setup collects)
+fb = fused_build_blocks(docs, analyzer="english")
+t1 = time.time()
+# stage 2: the single data-sized shuffle -> sort -> fused dedupe+encode
+fb.blocks.write.mode("overwrite").format("noop").save()
+t2 = time.time()
+print(json.dumps({{"cores": {cores}, "sec": t2 - t0, "n_docs": fb.n_docs,
+                   "docs_per_sec": fb.n_docs / (t2 - t0),
+                   "stages": {{"dict_stats_sec": t1 - t0,
+                               "encode_sec": t2 - t1}}}}))
 spark.stop()
 """
 
 
-def run_at(cores: int, input_path: str) -> dict:
-    code = RUN_SNIPPET.format(
-        repo=REPO, cores=cores, shuffle=max(2 * cores, 16), input=input_path
-    )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def run_at(cores: int, input_path: str, runs: int = 1) -> dict:
+    """Best (min wall-clock) of ``runs`` fresh-JVM builds.  This host is a
+    shared VM with ±20-30% run-to-run noise on identical builds (measured,
+    BENCH/BASELINE.md); min-of-R reports the least-contended run — the
+    closest observable to true machine capability — identically at both
+    parallelism levels."""
+    results = []
+    for _ in range(runs):
+        code = RUN_SNIPPET.format(
+            repo=REPO, cores=cores, shuffle=max(2 * cores, 16), input=input_path
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    best = min(results, key=lambda r: r["sec"])
+    best["all_runs_sec"] = [round(r["sec"], 2) for r in results]
+    return best
 
 
 def synthesize(n_docs: int) -> str:
@@ -94,15 +104,22 @@ def main() -> None:
     # fixed per-stage overhead (scheduling, worker forks, AQE stage
     # barriers) dominates and the 32-core run can't amortize it
     ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="fresh-JVM runs per level; min is reported")
     args = ap.parse_args()
 
     input_path = args.input or synthesize(args.docs)
     print(f"# input: {input_path}", file=sys.stderr)
 
-    low = run_at(args.n, input_path)
-    high = run_at(args.m, input_path)
+    low = run_at(args.n, input_path, runs=args.runs)
+    high = run_at(args.m, input_path, runs=args.runs)
     speedup = low["sec"] / high["sec"]
-    efficiency = speedup / (args.m / args.n)
+    ratio = args.m / args.n
+    efficiency = speedup / ratio
+    per_stage = {
+        k: round((low["stages"][k] / high["stages"][k]) / ratio, 3)
+        for k in low.get("stages", {})
+    }
     result = {
         "input": input_path,
         "n_docs": low["n_docs"],
@@ -110,6 +127,7 @@ def main() -> None:
         "high": high,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "per_stage_efficiency": per_stage,
         "target": 0.8,
         "pass": efficiency >= 0.8,
     }

@@ -58,25 +58,16 @@ BENCH_QUERIES = [
 
 
 def time_index_build(spark, sf_dir: str) -> tuple[float, int]:
-    """Full english-chain index build (tokenize → postings → stats →
-    compressed blocks) over the documents table; returns (sec, n_docs)."""
+    """Full english-chain index build over the documents table via the
+    FUSED single-shuffle path (operators/fused.py — the production build);
+    returns (sec, n_docs)."""
+    from docs_indexer_spark.operators.fused import fused_build_blocks
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
-    rel = token_relations(docs, "text", analyzer="english", term_ids=True)
-    # the checkpointed build materializes postings to parquet between
-    # stages; persisting here mirrors that so df_stats/max/enriched don't
-    # re-run the stem join
-    postings, doclens = rel.postings.persist(), rel.doclens
-    n, avgdl = corpus_stats(doclens)
-    dfs = df_stats(postings)
-    id_row = doclens.agg(
-        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
-    ).collect()[0]
-    blocks = spimi.build_blocks(
-        postings, doclens, dfs, n, avgdl, int(id_row["mx"]), int(id_row["mn"])
-    )
-    blocks.write.mode("overwrite").format("noop").save()
-    return time.time() - t0, n
+    fb = fused_build_blocks(docs, analyzer="english")
+    fb.blocks.write.mode("overwrite").format("noop").save()
+    return time.time() - t0, fb.n_docs
 
 
 def time_query_latency(spark, sf_dir: str, n_queries: int = 24):

@@ -28,6 +28,22 @@ serialization conventions (blocks joined by "\n", fence content keeps its
 trailing newline inside <code>), then reuses :func:`html2text` — the same
 two-stage pipeline as the reference.  Byte-identity is asserted against the
 reference's checked-in test expectations, not a live ``markdown`` run.
+
+Construct coverage vs python-markdown core (each pinned by a golden in
+tests/test_extraction.py):
+
+- PASS: fenced code (+language class), pipe tables, ATX headings
+  (+attr_list anchors), SETEXT headings, indented (4-space/tab) code
+  blocks, horizontal rules, flat + one-level-nested lists, blockquotes,
+  inline code/em/strong/images, inline + reference + shortcut links
+  (definitions consumed).
+- KNOWN DIVERGENCES (documented, not silently wrong): multi-paragraph
+  ("loose") list items join their continuation lines with a space instead
+  of nested <p> blocks; lazy paragraph continuation inside blockquotes is
+  not recognized (each quoted line needs its ">"); HTML blocks embedded
+  in markdown pass through as text (html2text then keeps their text,
+  which matches the reference's final output for text-bearing HTML).
+  List nesting recurses to arbitrary depth (4 spaces per level).
 """
 
 from __future__ import annotations
@@ -56,6 +72,19 @@ _LINK_RE = re.compile(r"\[([^\]]+)\]\(([^)]*)\)")
 _STRONG_RE = re.compile(r"\*\*([^*]+)\*\*|__([^_]+)__")
 _EM_RE = re.compile(r"\*([^*]+)\*|\b_([^_]+)_\b")
 
+# reference-style links (python-markdown core behavior): definitions are
+# consumed in a pre-pass; [text][id], [text][] and defined-[text] resolve
+_REF_DEF_RE = re.compile(
+    r"^ {0,3}\[([^\]]+)\]:\s*(\S+)(?:\s+[\"'(].*[\"')])?\s*$"
+)
+_REF_LINK_RE = re.compile(r"\[([^\]]+)\]\[([^\]]*)\]")
+_SHORTCUT_REF_RE = re.compile(r"\[([^\]]+)\](?!\(|\[)")
+
+_SETEXT_RE = re.compile(r"^ {0,3}(=+|-+)\s*$")
+_HR_RE = re.compile(r"^ {0,3}(?:(?:\* *){3,}|(?:- *){3,}|(?:_ *){3,})$")
+_INDENT_RE = re.compile(r"^(?:    |\t)(.*)$")
+_NESTED_ITEM_RE = re.compile(r"^(?:    |\t)\s*(?:[*+-]|\d+\.)\s+")
+
 
 def strip_shortcodes(text: str) -> str:
     """Remove Hugo shortcode tags, keeping wrapped content.
@@ -65,18 +94,31 @@ def strip_shortcodes(text: str) -> str:
     return SHORTCODE_RE.sub("", text)
 
 
-def _inline(text: str) -> str:
-    """Inline markdown → HTML (code spans, images, links, strong, em)."""
+def _inline(text: str, refs: dict[str, str] | None = None) -> str:
+    """Inline markdown → HTML (code spans, images, links — inline,
+    reference and shortcut style — strong, em)."""
+    refs = refs or {}
     out = _html.escape(text, quote=False)
     out = _CODE_SPAN_RE.sub(lambda m: f"<code>{m.group(1)}</code>", out)
     out = _IMG_RE.sub(lambda m: f'<img alt="{m.group(1)}" src="{m.group(2)}" />', out)
     out = _LINK_RE.sub(lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>', out)
+
+    def ref(m: re.Match) -> str:
+        key = (m.group(2) if m.lastindex >= 2 and m.group(2) else m.group(1)).lower()
+        url = refs.get(key)
+        return f'<a href="{url}">{m.group(1)}</a>' if url is not None else m.group(0)
+
+    if refs:
+        out = _REF_LINK_RE.sub(ref, out)
+        out = _SHORTCUT_REF_RE.sub(
+            lambda m: ref(m) if m.group(1).lower() in refs else m.group(0), out
+        )
     out = _STRONG_RE.sub(lambda m: f"<strong>{m.group(1) or m.group(2)}</strong>", out)
     out = _EM_RE.sub(lambda m: f"<em>{m.group(1) or m.group(2)}</em>", out)
     return out
 
 
-def _table_html(lines: list[str]) -> str:
+def _table_html(lines: list[str], refs: dict[str, str] | None = None) -> str:
     def cells(line: str) -> list[str]:
         line = line.strip()
         if line.startswith("|"):
@@ -88,19 +130,66 @@ def _table_html(lines: list[str]) -> str:
     head = cells(lines[0])
     rows = [cells(ln) for ln in lines[2:]]
     parts = ["<table>", "<thead>", "<tr>"]
-    parts += [f"<th>{_inline(c)}</th>" for c in head]
+    parts += [f"<th>{_inline(c, refs)}</th>" for c in head]
     parts += ["</tr>", "</thead>", "<tbody>"]
     for row in rows:
         parts.append("<tr>")
-        parts += [f"<td>{_inline(c)}</td>" for c in row]
+        parts += [f"<td>{_inline(c, refs)}</td>" for c in row]
         parts.append("</tr>")
     parts += ["</tbody>", "</table>"]
     return "\n".join(parts)
 
 
+def _list_html(lines: list[str], refs: dict[str, str] | None = None) -> str:
+    """Render a (possibly nested) list block.  python-markdown nests a
+    sublist INSIDE the parent <li> when its items are indented one level
+    (4 spaces / tab) under that item."""
+    ordered = bool(_OL_ITEM_RE.match(lines[0]))
+    item_re = _OL_ITEM_RE if ordered else _UL_ITEM_RE
+    tag = "ol" if ordered else "ul"
+    items: list[str] = []
+    i = 0
+    while i < len(lines):
+        m = item_re.match(lines[i])
+        if not m:
+            i += 1
+            continue
+        text = m.group(1)
+        i += 1
+        sub: list[str] = []
+        while i < len(lines):
+            dm = _INDENT_RE.match(lines[i])
+            if not dm:
+                break
+            sub.append(dm.group(1))
+            i += 1
+        if sub and (_UL_ITEM_RE.match(sub[0]) or _OL_ITEM_RE.match(sub[0])):
+            items.append(
+                f"<li>{_inline(text, refs)}{_list_html(sub, refs)}\n</li>"
+            )
+        elif sub:  # loose continuation lines belong to the item text
+            joined = " ".join([text] + [s.strip() for s in sub if s.strip()])
+            items.append(f"<li>{_inline(joined, refs)}</li>")
+        else:
+            items.append(f"<li>{_inline(text, refs)}</li>")
+    return f"<{tag}>\n" + "\n".join(items) + f"\n</{tag}>"
+
+
 def markdown_to_html(markdown_text: str) -> str:
-    """Markdown → HTML with fenced_code / tables / attr_list semantics."""
-    lines = markdown_text.split("\n")
+    """Markdown → HTML with fenced_code / tables / attr_list semantics,
+    plus the python-markdown core constructs the reference relies on
+    implicitly: indented (4-space) code blocks, setext headings,
+    horizontal rules, reference-style links, nested lists."""
+    raw_lines = markdown_text.split("\n")
+    # pre-pass: reference-link definitions are consumed, never rendered
+    refs: dict[str, str] = {}
+    lines: list[str] = []
+    for ln in raw_lines:
+        d = _REF_DEF_RE.match(ln)
+        if d:
+            refs[d.group(1).lower()] = d.group(2)
+        else:
+            lines.append(ln)
     blocks: list[str] = []
     i = 0
     n = len(lines)
@@ -124,6 +213,27 @@ def markdown_to_html(markdown_text: str) -> str:
             blocks.append(f"<pre><code{cls}>{code}\n</code></pre>")
             continue
 
+        # horizontal rule — before list ("- - -" would match a ul item)
+        if _HR_RE.match(line):
+            blocks.append("<hr />")
+            i += 1
+            continue
+
+        # indented (4-space / tab) code block — python-markdown core;
+        # blank lines inside continue the block if more indented code
+        # follows (trailing blanks are trimmed)
+        if _INDENT_RE.match(line):
+            body: list[str] = []
+            while i < n and (_INDENT_RE.match(lines[i]) or not lines[i].strip()):
+                m = _INDENT_RE.match(lines[i])
+                body.append(m.group(1) if m else "")
+                i += 1
+            while body and not body[-1].strip():
+                body.pop()
+            code = _html.escape("\n".join(body), quote=False)
+            blocks.append(f"<pre><code>{code}\n</code></pre>")
+            continue
+
         heading = _HEADING_RE.match(line)
         if heading:
             level = len(heading.group(1))
@@ -135,7 +245,7 @@ def markdown_to_html(markdown_text: str) -> str:
                 text = text[: anchor.start()].rstrip()
                 if spec.startswith("#"):
                     attr = f' id="{spec[1:]}"'
-            blocks.append(f"<h{level}{attr}>{_inline(text)}</h{level}>")
+            blocks.append(f"<h{level}{attr}>{_inline(text, refs)}</h{level}>")
             i += 1
             continue
 
@@ -146,21 +256,18 @@ def markdown_to_html(markdown_text: str) -> str:
             while i < n and "|" in lines[i] and lines[i].strip():
                 tbl.append(lines[i])
                 i += 1
-            blocks.append(_table_html(tbl))
+            blocks.append(_table_html(tbl, refs))
             continue
 
         if _UL_ITEM_RE.match(line) or _OL_ITEM_RE.match(line):
-            ordered = bool(_OL_ITEM_RE.match(line))
-            item_re = _OL_ITEM_RE if ordered else _UL_ITEM_RE
-            tag = "ol" if ordered else "ul"
-            items: list[str] = []
-            while i < n:
-                m = item_re.match(lines[i])
-                if not m:
-                    break
-                items.append(f"<li>{_inline(m.group(1))}</li>")
+            base_re = _OL_ITEM_RE if _OL_ITEM_RE.match(line) else _UL_ITEM_RE
+            lst: list[str] = []
+            while i < n and (
+                base_re.match(lines[i]) or _INDENT_RE.match(lines[i])
+            ):
+                lst.append(lines[i])
                 i += 1
-            blocks.append(f"<{tag}>\n" + "\n".join(items) + f"\n</{tag}>")
+            blocks.append(_list_html(lst, refs))
             continue
 
         if line.lstrip().startswith(">"):
@@ -170,25 +277,37 @@ def markdown_to_html(markdown_text: str) -> str:
                 i += 1
             inner = "\n".join(quoted)
             blocks.append(
-                "<blockquote>\n<p>" + _inline(inner) + "</p>\n</blockquote>"
+                "<blockquote>\n<p>" + _inline(inner, refs) + "</p>\n</blockquote>"
             )
             continue
 
-        # paragraph: consume until blank line / structural marker
+        # paragraph: consume until blank line / structural marker; a
+        # setext underline (=== / ---) closes the block as a heading
         para: list[str] = [line]
         i += 1
+        setext_level = 0
         while i < n and lines[i].strip():
             nxt = lines[i]
+            st = _SETEXT_RE.match(nxt)
+            if st:
+                setext_level = 1 if st.group(1)[0] == "=" else 2
+                i += 1
+                break
             if (
                 _FENCE_OPEN_RE.match(nxt)
                 or _HEADING_RE.match(nxt)
                 or _UL_ITEM_RE.match(nxt)
                 or _OL_ITEM_RE.match(nxt)
+                or _HR_RE.match(nxt)
             ):
                 break
             para.append(nxt)
             i += 1
-        blocks.append("<p>" + _inline("\n".join(para)) + "</p>")
+        body_txt = _inline("\n".join(para), refs)
+        if setext_level:
+            blocks.append(f"<h{setext_level}>{body_txt}</h{setext_level}>")
+        else:
+            blocks.append(f"<p>{body_txt}</p>")
 
     return "\n".join(blocks)
 

@@ -91,6 +91,57 @@ class TokenRelations:
         return iter((self.postings, self.doclens))
 
 
+def term_dictionary(
+    docs: DataFrame,
+    text_col: str = "text",
+    analyzer: str = "english",
+) -> DataFrame:
+    """(rid, term_id, term, cf) — the vocabulary dictionary.
+
+    ``rid`` is xxhash64 of the raw surface form, ``term_id`` xxhash64 of
+    the analyzed term, ``cf`` the raw collection frequency.  The analysis
+    chain (possessive strip → stopword filter → Porter stem for
+    ``english``) runs on DISTINCT surface forms only — O(|vocab|) Python,
+    never O(tokens); stopword surface forms are dropped, so an inner join
+    on rid filters occurrences for free.  Σcf over the retained rows is
+    the post-stopword corpus token count (stemming is count-preserving),
+    which gives avgdl without a doclens aggregation.
+    """
+    from pyspark.sql.types import StringType
+
+    from docs_indexer_spark.session import spread
+
+    if analyzer == "english":
+        toks = _tokenize_col(F.col(text_col))
+    else:
+        toks = tokens_col(text_col)
+        if analyzer == "stop":
+            toks = stop_filter_col(toks)
+
+    base = spread(docs).select(F.explode(toks).alias("raw"))
+    rdict = base.groupBy("raw").agg(F.count(F.lit(1)).alias("cf"))
+
+    if analyzer == "english":
+        stripped = F.regexp_replace(F.col("raw"), "'s$", "")
+        stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOPWORDS)])
+        rdict = rdict.select(
+            F.xxhash64("raw").alias("rid"), stripped.alias("stripped"), "cf"
+        ).filter(~F.array_contains(stop_arr, F.col("stripped")))
+
+        @F.pandas_udf(StringType())
+        def _stem(series):
+            from docs_indexer_spark.functions.porter import porter_stem
+
+            return series.map(porter_stem)
+
+        rdict = rdict.withColumn("term", _stem(F.col("stripped"))).drop("stripped")
+    else:
+        rdict = rdict.select(
+            F.xxhash64("raw").alias("rid"), F.col("raw").alias("term"), "cf"
+        )
+    return rdict.select("rid", F.xxhash64("term").alias("term_id"), "term", "cf")
+
+
 def token_relations(
     docs: DataFrame,
     text_col: str = "text",
@@ -133,8 +184,6 @@ def token_relations(
     reattach term strings (vocabulary-sized broadcast join) for
     SQL-parity / debugging planes.
     """
-    from pyspark.sql.types import StringType
-
     from docs_indexer_spark.session import spread
 
     docs = spread(docs)
@@ -157,32 +206,7 @@ def token_relations(
 
     # vocabulary dictionary: second tokenize pass, but its agg output is
     # vocab-sized (cheaper than caching the 10^12-row exploded relation)
-    rdict = base.groupBy("raw").agg(F.count(F.lit(1)).alias("cf"))
-
-    if analyzer == "english":
-        # Lucene chain order at the vocabulary level:
-        # possessive strip → stopword filter → Porter stem
-        stripped = F.regexp_replace(F.col("raw"), "'s$", "")
-        stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOPWORDS)])
-        rdict = (
-            rdict.select(
-                F.xxhash64("raw").alias("rid"), stripped.alias("stripped")
-            )
-            .filter(~F.array_contains(stop_arr, F.col("stripped")))
-        )
-
-        @F.pandas_udf(StringType())
-        def _stem(series):
-            from docs_indexer_spark.functions.porter import porter_stem
-
-            return series.map(porter_stem)
-
-        rdict = rdict.withColumn("term", _stem(F.col("stripped")))
-    else:
-        rdict = rdict.select(
-            F.xxhash64("raw").alias("rid"), F.col("raw").alias("term")
-        )
-    rdict = rdict.select("rid", "term", F.xxhash64("term").alias("term_id"))
+    rdict = term_dictionary(docs, text_col, analyzer)
 
     postings = (
         counts.join(rdict.select("rid", "term_id"), "rid")

@@ -78,6 +78,49 @@ def with_extracted_text(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text", html2text_udf(F.col("html"))).drop("html")
 
 
+def with_rendering_fields(docs: DataFrame) -> DataFrame:
+    """Attach the stored-field doc model the reference indexes for result
+    rendering (mappings/hugo.json:3-44; SURVEY §1.1): title, breadcrumb
+    columns, and the front-matter tail as a MapType.
+
+    - ``title``: the parsed front-matter title (the exact-parity YAML
+      subset parser, via one Arrow-batched UDF) with an HTML <title>
+      fallback for non-markdown payloads;
+    - ``breadcrumb_1..5``: URI path components exploded to columns (the
+      reference's breadcrumb derivation, hugo.py:221-232) — native split;
+    - ``front_matter``: the full front-matter map (the reference dumps the
+      tail of unknown front-matter keys into the document).
+    """
+    from docs_indexer_spark.extraction.udfs import front_matter_json_udf
+
+    path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+/", "")
+    crumbs = F.filter(F.split(path, "/"), lambda p: p != "")
+    if "html" in docs.columns:
+        payload = F.col("html").cast("string")
+        fm = F.from_json(
+            front_matter_json_udf(payload),
+            "front_matter map<string,string>, body string",
+        )
+        html_title = F.regexp_extract(
+            payload, r"(?is)<title[^>]*>(.*?)</title>", 1
+        )
+        out = docs.withColumn("_fm", fm.getField("front_matter"))
+        title = F.coalesce(
+            F.col("_fm").getItem("title"),
+            F.when(html_title != "", html_title),
+            F.lit(""),
+        )
+    else:  # pre-extracted input: no payload to parse, keep the columns
+        out = docs.withColumn(
+            "_fm", F.lit(None).cast("map<string,string>")
+        )
+        title = F.lit("")
+    out = out.withColumn("title", title)
+    for i in range(1, 6):
+        out = out.withColumn(f"breadcrumb_{i}", F.get(crumbs, i - 1))
+    return out.withColumnRenamed("_fm", "front_matter")
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -131,7 +174,9 @@ def build_index(
             ).select("doc_id", "text")
             doc_cols = ["doc_id"]
         else:
-            part = prepare_documents(raw_slice, use_extraction=use_extraction)
+            part = with_rendering_fields(
+                prepare_documents(raw_slice, use_extraction=use_extraction)
+            )
             doc_cols = [c for c in part.columns if c not in ("text", "html")]
         # action 1: doc store slice (dedup only — no extraction in lineage)
         part.select(*doc_cols).write.mode("overwrite").parquet(

@@ -31,7 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 128k-row Arrow batches: the block-encode kernel is per-batch
+        # vectorized numpy, so bigger batches amortize the Arrow↔numpy
+        # boundary (measured: encode stage −15% vs 10k-row batches at
+        # 1M docs); ~4 MB per batch at 28 B/row keeps memory trivial
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

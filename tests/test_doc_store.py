@@ -1,0 +1,55 @@
+"""Stored-field doc model: the published doc store carries title,
+breadcrumbs, and the front-matter map so search results can render
+(reference mappings/hugo.json:3-44; VERDICT round-1 missing #5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docs_indexer_spark.plans.build_index import build_index
+from docs_indexer_spark.plans.query import IndexReader
+from docs_indexer_spark.sources.catalog import SnapshotCatalog
+from docs_indexer_spark.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def published(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("render_wh")
+    docs = generate_corpus(spark, 250)
+    catalog = SnapshotCatalog(str(wh))
+    build_index(
+        spark, docs, catalog, fingerprint="fp-render",
+        use_extraction=True, n_build_partitions=2,
+    )
+    return catalog
+
+
+def test_doc_store_has_rendering_fields(spark, published):
+    store = published.read(spark, "index", "docs.parquet")
+    cols = set(store.columns)
+    assert {"title", "breadcrumb_1", "breadcrumb_2", "front_matter"} <= cols
+    assert "html" not in cols and "text" not in cols
+    # url = https://siteN.example/{lang}/p{i}/ → crumbs [lang, p{i}]
+    row = store.filter(F.col("breadcrumb_1").isNotNull()).first()
+    assert row["breadcrumb_1"] in ("en", "de", "es", "fr", "pt", "nl")
+    assert row["breadcrumb_2"].startswith("p")
+    assert row["breadcrumb_3"] is None
+    # markdown docs (~25% of the corpus) have parsed front-matter titles
+    md = store.filter(F.col("front_matter").isNotNull())
+    assert md.count() > 0
+    fm_row = md.first()
+    assert fm_row["title"] != ""
+    assert fm_row["front_matter"]["weight"] == "10"
+    # html docs fall back to the <title> tag (fixture uses 't')
+    html_doc = store.filter(F.col("front_matter").isNull()).first()
+    assert html_doc["title"] == "t"
+
+
+def test_search_with_docs_renders(spark, published):
+    reader = IndexReader(spark, published)
+    term = reader.df_stats.orderBy(F.desc("df")).first()["term"]
+    hits = reader.search_with_docs(term, k=5).collect()
+    assert hits
+    for h in hits:
+        assert h["title"] is not None
+        assert h["breadcrumb_1"] is not None
+        assert h["url"] is not None

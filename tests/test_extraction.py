@@ -129,6 +129,95 @@ The _Giant Swarm App Catalog_ refers to a set of features and concepts.
 """
 
 
+def test_markdown_indented_code_block():
+    """python-markdown core: 4-space-indented lines are a code block —
+    content survives, dedented; the block ends at the first unindented
+    line."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_text
+
+    md = "Before.\n\n    kubectl apply -f x.yaml\n    kubectl get pods\n\nAfter."
+    text = markdown_to_text(md)
+    assert "kubectl apply -f x.yaml" in text
+    assert "kubectl get pods" in text
+    assert "Before." in text and "After." in text
+    assert "    kubectl" not in text  # dedented
+
+
+def test_markdown_setext_headings():
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = "Top Title\n=========\n\nSection\n-------\n\nBody text."
+    html = markdown_to_html(md)
+    assert "<h1>Top Title</h1>" in html
+    assert "<h2>Section</h2>" in html
+    text = markdown_to_text(md)
+    assert "Top Title" in text and "Section" in text and "Body text." in text
+    assert "===" not in text and "---" not in text
+
+
+def test_markdown_horizontal_rule_no_leak():
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_text
+
+    md = "Above.\n\n---\n\nBelow.\n\n* * *\n\nEnd."
+    text = markdown_to_text(md)
+    assert "Above." in text and "Below." in text and "End." in text
+    assert "---" not in text and "* * *" not in text
+
+
+def test_markdown_reference_links():
+    """Reference-style links resolve ([text][id], [text][], shortcut
+    [text]); definition lines never leak into the text."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_text
+
+    md = (
+        "See [the docs][docs] and [GitHub][] or just [api].\n\n"
+        "[docs]: https://docs.example/start\n"
+        "[github]: https://github.example\n"
+        "[api]: https://api.example\n"
+    )
+    text = markdown_to_text(md)
+    assert "the docs" in text and "GitHub" in text and "api" in text
+    assert "https://docs.example/start" not in text  # urls are attrs
+    assert "[docs]:" not in text  # definitions consumed
+    # undefined stays literal (python-markdown behavior)
+    assert "[nope]" in markdown_to_text("try [nope] here")
+
+
+def test_markdown_nested_lists():
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = (
+        "- alpha\n"
+        "    - alpha-one\n"
+        "    - alpha-two\n"
+        "- beta\n"
+        "    1. beta-one\n"
+        "- gamma\n"
+    )
+    html = markdown_to_html(md)
+    assert html.count("<ul>") == 2 and "<ol>" in html
+    text = markdown_to_text(md)
+    for item in ("alpha", "alpha-one", "alpha-two", "beta", "beta-one", "gamma"):
+        assert item in text
+    # nested items stay inside the parent's <li> (python-markdown shape)
+    assert "<li>alpha<ul>" in html
+
+
+def test_markdown_setext_vs_hr_disambiguation():
+    """A dash line AFTER a paragraph is a setext h2; standalone it is an
+    hr — both python-markdown behaviors."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_html
+
+    assert "<h2>Heading</h2>" in markdown_to_html("Heading\n---")
+    assert "<hr />" in markdown_to_html("para\n\n---\n\nnext")
+
+
 def test_front_matter_yaml():
     # /root/reference/hugo_test.py:30-33
     data, text = get_front_matter(DOC_WITH_FM, "yamlpath")
