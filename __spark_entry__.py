@@ -108,31 +108,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query answered through the compressed block index + block-max
-    WAND (SURVEY §2 C1/C3) — same oracle, so the driver gate certifies the
-    whole compression + WAND plane."""
+    WAND (SURVEY §2 C1/C3) — built via the FUSED production path
+    (operators/fused.py), same oracle, so the driver gate certifies the
+    fused build + compression + WAND plane in one row."""
     import numpy as np
 
-    from docs_indexer_spark.operators import spimi
-    from docs_indexer_spark.operators.postings import df_stats, idf_col
+    from docs_indexer_spark.operators.fused import fused_build_blocks
+    from docs_indexer_spark.operators.postings import idf_col
     from docs_indexer_spark.operators.wand import wand_topk
 
-    postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
-    dfs = df_stats(postings)
-    id_row = doclens.agg(
-        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
-    ).collect()[0]
-    blocks = spimi.build_blocks(
-        postings, doclens, dfs, n, avgdl, int(id_row["mx"]), int(id_row["mn"]),
-        n_buckets=8, norm_dtype=np.float64,
+    docs = _docs(spark, sf_dir)
+    fb = fused_build_blocks(
+        docs, analyzer="stop", n_buckets=8, norm_dtype=np.float64
     )
     idf_rows = (
-        dfs.filter(F.col("term").isin(BM25_TERMS))
-        .withColumn("idf", idf_col(F.col("df"), n))
-        .withColumn("term_id", F.xxhash64("term"))
+        fb.terms.filter(F.col("term").isin(BM25_TERMS))
+        .join(fb.df_stats(), "term_id")
+        .withColumn("idf", idf_col(F.col("df"), fb.n_docs))
         .collect()
     )
     idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
-    top = wand_topk(blocks, idf, sorted(idf), k=10)
+    top = wand_topk(fb.blocks, idf, sorted(idf), k=10)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -433,28 +429,14 @@ def q_phrase_match_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same phrase query answered through the COMPRESSED positional block
     index (positions_bin delta-varint stream) — same oracle, so the driver
     gate certifies the whole positional compression plane."""
-    from docs_indexer_spark.operators import spimi
-    from docs_indexer_spark.operators.phrase import (
-        phrase_match_blocks,
-        token_positions,
-    )
-    from docs_indexer_spark.operators.postings import corpus_stats
+    from docs_indexer_spark.operators.fused import fused_build_blocks
+    from docs_indexer_spark.operators.phrase import phrase_match_blocks
 
     docs = _docs(spark, sf_dir)
-    postings = token_positions(docs, analyzer="simple").withColumn(
-        "term_id", F.xxhash64("term")
+    fb = fused_build_blocks(
+        docs, analyzer="simple", n_buckets=8, positions=True
     )
-    doclens = postings.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
-    n, avgdl = corpus_stats(doclens)
-    dfs = postings.groupBy("term_id").agg(F.count(F.lit(1)).alias("df"))
-    ids = doclens.agg(
-        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
-    ).collect()[0]
-    blocks = spimi.build_blocks(
-        postings.select("term_id", "doc_id", "tf", "positions"),
-        doclens, dfs, n, avgdl, int(ids["mx"]), int(ids["mn"]),
-        n_buckets=8, positions=True,
-    )
+    blocks = fb.blocks
     row = spark.range(1).select(
         *[F.xxhash64(F.lit(t)).alias(f"t{i}") for i, t in enumerate(PHRASE)]
     ).collect()[0]

@@ -131,6 +131,29 @@ def analyze_text(text: str, analyzer: str = "english") -> list[str]:
     return ANALYZERS[analyzer](text)
 
 
+def analyze_with_positions(
+    text: str, analyzer: str = "english"
+) -> list[tuple[str, int]]:
+    """[(term, position)] where position is the token's index in the
+    UNFILTERED token stream — a removed stopword advances positions
+    (Lucene position increments), so a phrase query "merge the sort"
+    yields [(merge, 0), (sort, 2)] and matches documents indexed the same
+    way."""
+    from docs_indexer_spark.functions.porter import porter_stem
+
+    out: list[tuple[str, int]] = []
+    for i, tok in enumerate(tokenize(text)):
+        if analyzer == "simple":
+            out.append((tok, i))
+            continue
+        if analyzer == "english":
+            tok = _strip_possessive(tok)
+        if tok in ENGLISH_STOPWORDS:
+            continue
+        out.append((porter_stem(tok) if analyzer == "english" else tok, i))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Native Column expressions (JVM-side, whole-stage codegen; no Python).
 # ---------------------------------------------------------------------------

@@ -112,6 +112,7 @@ def phrase_match_blocks(
     blocks: DataFrame,
     term_ids: list[int],
     id_col: str = "doc_id",
+    offsets: list[int] | None = None,
 ) -> DataFrame:
     """Phrase matching over the COMPRESSED block index (requires blocks
     built with ``positions=True``): decode only the phrase terms' blocks
@@ -119,9 +120,16 @@ def phrase_match_blocks(
     position-set algebra as :func:`phrase_occurrences`.
 
     ``term_ids`` are xxhash64(term) of the phrase terms IN ORDER.
+    ``offsets`` are each term's position offset within the phrase
+    (default 0..k-1 = strict adjacency); a stopword-filtered query keeps
+    its original token indices here so "merge the sort" matches documents
+    where the terms are two apart — Lucene match_phrase's position
+    increments.
     """
     from docs_indexer_spark.operators.spimi import decode_position_blocks
 
+    if offsets is None:
+        offsets = list(range(len(term_ids)))
     decoded = decode_position_blocks(
         blocks.filter(F.col("term_id").isin([int(t) for t in term_ids]))
     )
@@ -129,7 +137,7 @@ def phrase_match_blocks(
     for i, tid in enumerate(term_ids):
         p = decoded.filter(F.col("term_id") == int(tid)).select(
             F.col(id_col),
-            F.transform("positions", _shift(i)).alias(f"p{i}"),
+            F.transform("positions", _shift(offsets[i])).alias(f"p{i}"),
         )
         parts.append(p)
     joined = parts[0]

@@ -149,6 +149,7 @@ def token_relations(
     analyzer: str = "english",
     cache: bool = True,
     term_ids: bool = False,
+    positions: bool = False,
 ) -> TokenRelations:
     """(postings, doclens[, term dictionary]) with BOTH the Python boundary
     and the string traffic minimized.
@@ -196,10 +197,29 @@ def token_relations(
         if analyzer == "stop":
             toks = stop_filter_col(toks)
 
-    base = docs.select(F.col(id_col), F.explode(toks).alias("raw"))
-    counts = base.select(
-        F.col(id_col), F.xxhash64("raw").alias("rid")
-    ).groupBy(id_col, "rid").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    if positions:
+        # token positions index the ANALYZED stream pre-filter, so
+        # vocabulary-level stopword drops keep Lucene position increments;
+        # for the stop chain that means exploding the UNFILTERED tokens
+        # (the dictionary join drops stopword occurrences anyway)
+        if analyzer == "stop":
+            toks = tokens_col(text_col)
+        base = docs.select(
+            F.col(id_col), F.posexplode(toks).alias("pos", "raw")
+        )
+        counts = base.select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("pos"),
+            F.xxhash64("raw").alias("rid"),
+        ).groupBy(id_col, "rid").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        base = docs.select(F.col(id_col), F.explode(toks).alias("raw"))
+        counts = base.select(
+            F.col(id_col), F.xxhash64("raw").alias("rid")
+        ).groupBy(id_col, "rid").agg(F.count(F.lit(1)).cast("int").alias("tf"))
     cached = None
     if cache:
         counts = cached = counts.persist()
@@ -208,10 +228,15 @@ def token_relations(
     # vocab-sized (cheaper than caching the 10^12-row exploded relation)
     rdict = term_dictionary(docs, text_col, analyzer)
 
+    pos_aggs = (
+        [F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions")]
+        if positions
+        else []
+    )
     postings = (
         counts.join(rdict.select("rid", "term_id"), "rid")
         .groupBy("term_id", id_col)
-        .agg(F.sum("tf").cast("int").alias("tf"))
+        .agg(F.sum("tf").cast("int").alias("tf"), *pos_aggs)
     )
     # post-stop doclens: stopword rows dropped by the inner dictionary join
     doclens = postings.groupBy(id_col).agg(F.sum("tf").cast("int").alias("dl"))

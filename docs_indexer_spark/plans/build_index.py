@@ -134,6 +134,7 @@ def build_index(
     use_extraction: bool = False,
     id_col: str | None = None,
     fail_after_partition: int | None = None,
+    positions: bool = False,
 ) -> dict:
     """Run (or resume) a full index build; returns build metrics.
 
@@ -194,7 +195,8 @@ def build_index(
         # whose shared prefix is the cheap tokenize pass; persisting the
         # exploded relation costs more than recomputing it
         rel = token_relations(
-            part, "text", analyzer=analyzer, cache=False, term_ids=True
+            part, "text", analyzer=analyzer, cache=False, term_ids=True,
+            positions=positions,
         )
         rel.postings.write.mode("overwrite").parquet(
             f"{stage_root}/postings/p={p}"
@@ -209,9 +211,10 @@ def build_index(
 
     # ---- stage 2: global merge ----
     t1 = time.time()
-    postings = spark.read.parquet(f"{stage_root}/postings").select(
-        "term_id", "doc_id", "tf"
+    posting_cols = ["term_id", "doc_id", "tf"] + (
+        ["positions"] if positions else []
     )
+    postings = spark.read.parquet(f"{stage_root}/postings").select(*posting_cols)
     docs_store = spark.read.parquet(f"{stage_root}/docs").drop("p")
     # dl == sum(tf) per doc; token-less docs get dl=0 via the doc store
     tok_counts = postings.groupBy("doc_id").agg(
@@ -241,7 +244,7 @@ def build_index(
     blocks = spimi.build_blocks(
         postings, doclens, dfs, n_docs, avgdl,
         int(id_row["mx"]), int(id_row["mn"]),
-        params=params, n_buckets=n_buckets,
+        params=params, n_buckets=n_buckets, positions=positions,
     )
 
     gen, gen_path = catalog.stage_generation(table, fingerprint)
@@ -262,6 +265,7 @@ def build_index(
         "stage2_sec": t_stage2,
         "k1": params.k1,
         "b": params.b,
+        "positions": positions,
     }
     catalog.publish(table, gen, fingerprint, metrics)
     # the staged postings/docs and lineage checkpoints served their purpose

@@ -61,6 +61,45 @@ class IndexReader:
             return bm25.score_from_blocks(self.blocks, idf, ids, k=k)
         return wand.wand_topk(self.blocks, idf, ids, k=k)
 
+    def search_phrase(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
+        """Exact-phrase search over a POSITIONAL index (built with
+        positions=True; the reference mapping's term_vector
+        with_positions_offsets makes OpenSearch match_phrase possible —
+        this is the Spark-native mirror).
+
+        The query keeps Lucene position increments: a stopword removed by
+        the analyzer still advances the expected gap, so "merge the sort"
+        matches documents where the surviving terms sit two apart.
+        Results carry BM25-independent phrase stats (n_occurrences,
+        first_pos), ranked by occurrence count then doc_id.
+        """
+        from docs_indexer_spark.functions.analysis import analyze_with_positions
+        from docs_indexer_spark.operators.phrase import phrase_match_blocks
+
+        if not self.meta["metrics"].get("positions"):
+            raise ValueError(
+                "index was not built with positions=True; "
+                "phrase queries need the positional stream"
+            )
+        terms_pos = analyze_with_positions(query, self.analyzer)
+        if not terms_pos:
+            return self.spark.createDataFrame(
+                [], "doc_id long, n_occurrences int, first_pos int"
+            )
+        terms = [t for t, _ in terms_pos]
+        offsets = [p for _, p in terms_pos]
+        tid_rows = self.df_stats.filter(F.col("term").isin(terms)).collect()
+        tid_by_term = {r["term"]: int(r["term_id"]) for r in tid_rows}
+        if any(t not in tid_by_term for t in terms):
+            # a phrase containing an unindexed term matches nothing
+            return self.spark.createDataFrame(
+                [], "doc_id long, n_occurrences int, first_pos int"
+            )
+        term_ids = [tid_by_term[t] for t in terms]
+        return phrase_match_blocks(
+            self.blocks, term_ids, offsets=offsets
+        ).orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
+
     def search_with_docs(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         top = self.search(query, k=k)
         docs = self.catalog.read(self.spark, "index", "docs.parquet")

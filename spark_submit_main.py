@@ -37,12 +37,16 @@ def main() -> None:
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--id-col", default=None)
     b.add_argument("--extract-html", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store positional postings (enables phrase queries)")
 
     q = sub.add_parser("query")
     q.add_argument("--warehouse", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--exact", action="store_true")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase query (requires a --positions build)")
 
     bb = sub.add_parser("bench-build")
     bb.add_argument("--input", required=True)
@@ -65,16 +69,26 @@ def main() -> None:
             n_buckets=args.buckets,
             use_extraction=args.extract_html,
             id_col=args.id_col,
+            positions=args.positions,
         )
         print(json.dumps(metrics))
     elif args.cmd == "query":
         reader = IndexReader(spark, SnapshotCatalog(args.warehouse))
         t0 = time.time()
-        rows = reader.search(args.q, k=args.k, exact=args.exact).collect()
+        if args.phrase:
+            rows = reader.search_phrase(args.q, k=args.k).collect()
+            hits = [
+                {"doc_id": r["doc_id"], "n_occurrences": r["n_occurrences"],
+                 "first_pos": r["first_pos"]}
+                for r in rows
+            ]
+        else:
+            rows = reader.search(args.q, k=args.k, exact=args.exact).collect()
+            hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         out = {
             "query": args.q,
             "latency_sec": round(time.time() - t0, 4),
-            "hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
+            "hits": hits,
         }
         print(json.dumps(out))
     elif args.cmd == "bench-build":

@@ -131,6 +131,58 @@ def test_position_blocks_roundtrip_corpus(spark):
     assert got == want
 
 
+def test_published_positional_index_phrase_search(spark, tmp_path):
+    """End-to-end: build_index(positions=True) → published index →
+    IndexReader.search_phrase, with english-analyzer position increments
+    (a stopword in the query keeps its gap)."""
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    rows = [
+        (0, "the merge sort algorithm beats the bubble sort"),
+        (1, "merge the sort"),          # stopword between: gap of 2
+        (2, "sort merge"),              # wrong order
+        (3, "merge fast sort"),         # any word in the gap matches a
+                                        # 2-gap query (Lucene increments)
+        (4, "merge sort merge sort"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    catalog = SnapshotCatalog(str(tmp_path / "wh"))
+    metrics = build_index(
+        spark, docs, catalog, fingerprint="fp-pos", id_col="doc_id",
+        n_build_partitions=1, positions=True,
+    )
+    assert metrics["positions"] is True
+    reader = IndexReader(spark, catalog)
+
+    hits = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in reader.search_phrase("merge sort").collect()
+    }
+    # english analyzer drops 'the', so doc 1 ("merge the sort") keeps a
+    # 2-gap and does NOT match the adjacent phrase...
+    assert hits == {0: 1, 4: 2}
+    # ...but the query "merge the sort" carries the same increment: docs
+    # with a 2-gap match — doc 1 (stopword hole) AND doc 3 (any token may
+    # fill a position-increment hole, exactly Lucene match_phrase); doc 0
+    # ("the merge sort...": merge@1, sort@2 — gap 1) does not.
+    gap_hits = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in reader.search_phrase("merge the sort").collect()
+    }
+    assert gap_hits == {1: 1, 3: 1}
+    # unindexed term → empty, no error
+    assert reader.search_phrase("merge zzzmissing").count() == 0
+
+    # a non-positional index refuses phrase queries with a clear error
+    cat2 = SnapshotCatalog(str(tmp_path / "wh2"))
+    build_index(spark, docs, cat2, fingerprint="fp-nopos", id_col="doc_id",
+                n_build_partitions=1)
+    with pytest.raises(ValueError, match="positions"):
+        IndexReader(spark, cat2).search_phrase("merge sort")
+
+
 def test_phrase_match_blocks_equals_postings(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
         F.col("doc_id") < 300
