@@ -356,6 +356,66 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+ANN_BITS, ANN_SEED, ANN_DIM = 8, 42, 64
+
+
+def q_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the scale path for similarity search):
+    multi-probe bucket filter, exact cosine on the candidates.  The
+    hyperplanes are seeded and deterministic, so the oracle inlines the
+    SAME plane constants as SQL literals and recomputes signatures,
+    probes, and cosines bit-for-bit."""
+    from docs_indexer_spark.operators.similarity import lsh_bucket_neighbors
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [1.0] * ANN_DIM
+    top = lsh_bucket_neighbors(
+        emb, q, k=10, bits=ANN_BITS, seed=ANN_SEED, max_hamming=1
+    )
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_lsh_oracle() -> str:
+    import numpy as np
+
+    from docs_indexer_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(ANN_DIM, ANN_BITS, ANN_SEED)
+    qv = np.ones(ANN_DIM)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if float(plane @ qv) >= 0:
+            qbits |= 1 << i
+    probes = [qbits] + [qbits ^ (1 << i) for i in range(ANN_BITS)]
+    probes_sql = "(" + ",".join(str(p) for p in probes) + ")"
+
+    def lit_list(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    sig = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lit_list(planes[i])}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(ANN_BITS)
+    )
+    ones = "[" + ",".join(["1.0"] * ANN_DIM) + "]"
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ),
+        sig AS (SELECT vec_id, v, {sig} AS s FROM v),
+        cand AS (SELECT vec_id, v FROM sig WHERE s IN {probes_sql}),
+        scored AS (
+          SELECT vec_id,
+                 list_inner_product(v, {ones})
+                 / (sqrt(list_inner_product(v, v)) * sqrt({ANN_DIM}.0)) AS c
+          FROM cand
+        )
+        SELECT vec_id, round(c, 6) AS cosine
+        FROM scored ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs on a doc_id<60 slice."""
     from docs_indexer_spark.operators.dedup import with_word_shingles
@@ -539,6 +599,40 @@ def q_suggest_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_highlight_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-term highlighting + first-fragment snippets (the OpenSearch
+    ``highlight`` analogue, native regexp) for docs matching 'spark'."""
+    from docs_indexer_spark.functions.highlight import highlight_col, snippet_col
+
+    terms = ["spark", "join"]
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return (
+        docs.select(
+            "doc_id",
+            snippet_col("text", terms, width=30).alias("snippet"),
+            F.length(highlight_col("text", terms)).alias("highlighted_len"),
+        )
+        .filter(F.col("snippet") != "")
+        .orderBy("doc_id")
+    )
+
+
+def _highlight_oracle() -> str:
+    alt = "spark|join"
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 regexp_extract(text,
+                   '(?i)(.{{0,30}}\\b(?:{alt})\\b.{{0,30}})', 1) AS snippet,
+                 length(regexp_replace(text,
+                   '(?i)\\b({alt})\\b', '<em>\\1</em>', 'g')) AS highlighted_len
+          FROM documents WHERE doc_id < 40
+        )
+        SELECT doc_id, snippet, highlighted_len
+        FROM h WHERE snippet <> '' ORDER BY doc_id
+    """
+
+
 MISSPELLED = "tabel scann"
 
 
@@ -644,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id_confusion": q_lang_id_confusion,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_neighbors": q_ann_lsh_neighbors,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -654,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_stats": q_multifield_stats,
         "suggest_bigrams": q_suggest_bigrams,
         "suggest_correction": q_suggest_correction,
+        "highlight_snippets": q_highlight_snippets,
         "minhash_sigs": q_minhash_sigs,
         "embedding_pair_cosine": q_embedding_pair_cosine,
     }
@@ -998,4 +1094,6 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),
         "suggest_correction": _suggest_oracle(*MISSPELLED.split()),
+        "ann_lsh_neighbors": _ann_lsh_oracle(),
+        "highlight_snippets": _highlight_oracle(),
     }
