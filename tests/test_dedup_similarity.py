@@ -222,6 +222,90 @@ def test_text_quality_cols(spark):
     assert rows[3]["n"] == 0
 
 
+def _make_bmp(pixels: np.ndarray) -> bytes:
+    """Independent 24-bit BMP writer (bottom-up, BGR, padded rows)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for row in pixels[::-1]:
+        line = row[:, ::-1].tobytes()  # RGB → BGR
+        img += line + b"\x00" * (stride - len(line))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(img), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return bytes(header + img)
+
+
+def test_bmp_decode_roundtrip():
+    from docs_indexer_spark.operators.dedup import exact_duplicates  # noqa: F401
+    from docs_indexer_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    pixels = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    decoded = decode_image(_make_bmp(pixels))
+    assert decoded.shape == (5, 7, 3)
+    assert (decoded == pixels).all()
+
+
+def test_ppm_decode_roundtrip():
+    from docs_indexer_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(4)
+    pixels = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    payload = b"P6\n# comment\n6 4\n255\n" + pixels.tobytes()
+    decoded = decode_image(payload)
+    assert (decoded == pixels).all()
+
+
+def test_wav_decode_and_audio_features(spark):
+    import io
+    import wave
+
+    from docs_indexer_spark.operators.multimodal import (
+        decode_audio,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t / rate) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(tone.tobytes())
+    payload = buf.getvalue()
+
+    samples, got_rate = decode_audio(payload)
+    assert got_rate == rate and samples.shape == (rate, 1)
+    assert abs(float(np.abs(samples).max()) - 0.5) < 1e-3
+
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), ("audio/wav", 0, 0, 1000))],
+        "doc_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert row["duration_sec"] == 1.0
+    assert row["sample_rate"] == rate
+    # a 440 Hz sine crosses zero ~880 times/sec → zcr ≈ 880/8000
+    assert abs(row["zero_crossing_rate"] - 0.11) < 0.01
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(row["rms"] - 0.3536) < 0.001
+
+
+def test_resize_image_nearest():
+    from docs_indexer_spark.operators.multimodal import resize_image
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_image(img, (2, 3))
+    assert out.shape == (2, 3, 3)
+    assert (out[0, 0] == img[0, 0]).all()
+
+
 def test_multimodal_plumbing(spark):
     from docs_indexer_spark.operators.multimodal import (
         decode_image,

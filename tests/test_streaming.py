@@ -14,6 +14,83 @@ from docs_indexer_spark.streaming.incremental import (
 )
 
 
+def test_streaming_exact_dedup_across_batches_and_restarts(spark, tmp_path):
+    """applyInPandasWithState keeps seen-set state across micro-batches
+    AND across query restarts (checkpointed) — each doc_id emits once
+    ever."""
+    import pandas as pd
+
+    from docs_indexer_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = streaming_exact_dedup(stream, "doc_id")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "a"), (1, "a-dup"), (2, "b")], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {1, 2}
+
+    # restart with new data: 1 and 2 are remembered, only 3 emits
+    spark.createDataFrame([(2, "b-late"), (3, "c")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 2, 3]
+
+
+def test_windowed_doc_stats_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.streaming.stateful import windowed_doc_stats
+
+    src = str(tmp_path / "wsrc")
+    schema = "doc_id long, warc_ts timestamp, text string"
+    df = spark.createDataFrame(
+        [
+            (1, "2026-01-01 00:01:00", "aaaa"),
+            (2, "2026-01-01 00:02:00", "bb"),
+            (3, "2026-01-01 00:15:00", "cccccc"),
+        ],
+        "doc_id long, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    df.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_doc_stats(stream, "10 minutes", "30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["window"]["start"].minute: (r["n_docs"], r["avg_chars"])
+        for r in spark.sql("select * from win_stats").collect()
+    }
+    assert rows[0] == (2, 3.0)   # docs 1+2 in [00:00, 00:10)
+    assert rows[10] == (1, 6.0)  # doc 3 in [00:10, 00:20)
+
+
 def test_fingerprint_is_content_derived_and_order_free(spark):
     a = spark.createDataFrame(
         [("u1", "2026-01-01 00:00:00", "x", "en"),
