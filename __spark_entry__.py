@@ -416,6 +416,67 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+IVF_N, IVF_SEED, IVF_NPROBE = 8, 7, 3
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the other scale path besides RP-LSH): assign vectors to
+    seeded unit-norm coarse centroids, probe the query's nprobe nearest
+    lists, score exactly.  Deterministic centroids → the oracle inlines
+    them and recomputes assignment + probing bit-for-bit."""
+    from docs_indexer_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(ANN_DIM, IVF_N, IVF_SEED)
+    q = [1.0] * ANN_DIM
+    top = ivf_topk(emb, q, cents, k=10, nprobe=IVF_NPROBE)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_ivf_oracle() -> str:
+    import numpy as np
+
+    from docs_indexer_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(ANN_DIM, IVF_N, IVF_SEED)
+    qv = np.ones(ANN_DIM)
+    qn = qv / np.linalg.norm(qv)
+    order = np.argsort(-(cents @ qn))
+    probes = "(" + ",".join(str(int(c)) for c in order[:IVF_NPROBE]) + ")"
+
+    def lit_list(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    dots = ", ".join(
+        f"list_inner_product(v, {lit_list(cents[i])}) AS d{i}"
+        for i in range(IVF_N)
+    )
+    m = "greatest(" + ",".join(f"d{i}" for i in range(IVF_N)) + ")"
+    assign_case = (
+        "CASE " + " ".join(f"WHEN d{i} = {m} THEN {i}" for i in range(IVF_N))
+        + " END"
+    )
+    ones = "[" + ",".join(["1.0"] * ANN_DIM) + "]"
+    qnorm = repr(float(np.linalg.norm(qv)))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ),
+        dd AS (SELECT vec_id, v, {dots} FROM v),
+        assigned AS (SELECT vec_id, v, {assign_case} AS cid FROM dd),
+        cand AS (SELECT vec_id, v FROM assigned WHERE cid IN {probes}),
+        scored AS (
+          SELECT vec_id,
+                 list_inner_product(v, {ones})
+                 / (sqrt(list_inner_product(v, v)) * {qnorm}) AS c
+          FROM cand
+        )
+        SELECT vec_id, round(c, 6) AS cosine
+        FROM scored ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs on a doc_id<60 slice."""
     from docs_indexer_spark.operators.dedup import with_word_shingles
@@ -739,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id_confusion,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_neighbors": q_ann_lsh_neighbors,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1096,4 +1158,5 @@ def oracle_sql() -> dict[str, str]:
         "suggest_correction": _suggest_oracle(*MISSPELLED.split()),
         "ann_lsh_neighbors": _ann_lsh_oracle(),
         "highlight_snippets": _highlight_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
     }

@@ -100,6 +100,105 @@ def lsh_bucket_neighbors(
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Seeded random unit-norm coarse centroids — the data-independent IVF
+    quantizer (deterministic, so an external SQL oracle can inline them).
+    For production recall, train with :func:`ivf_train_kmeans` instead."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_train_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Lloyd's k-means on a deterministic sample (driver-side numpy — the
+    sample is a bounded model artifact, ≤ sample×dim floats; at 10^9+
+    vectors the TRAINING set stays this size while assignment runs
+    distributed)."""
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = ivf_centroids(x.shape[1], n_centroids, seed)
+    for _ in range(iters):
+        # cosine assignment on normalized data
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id, v): each vector assigned to its max-cosine
+    centroid (unit-norm centroids ⇒ argmax dot).  Native expression:
+    array_max over (dot, -centroid_id) structs — lexicographic struct max
+    = argmax with smallest-id tie-break, no UDF, one scan."""
+    cast_vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    entries = []
+    for cid, c in enumerate(centroids):
+        const = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(
+            F.struct(
+                _dot(F.col("_v"), const).alias("dot"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return (
+        embeddings.select(F.col(id_col), cast_vec.alias("_v"))
+        .withColumn("centroid_id", (-best.getField("neg_cid")).cast("int"))
+        .select(id_col, "centroid_id", F.col("_v").alias("v"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe centroids closest to the query, score
+    only their inverted lists exactly.  At scale the assignment is built
+    once (ivf_assign persisted/partitioned by centroid_id → partition
+    pruning per query); the scan here fuses assign+filter for the
+    self-contained query form."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(centroids @ qn))
+    probes = [int(c) for c in order[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("centroid_id").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(float(np.linalg.norm(qv))))
+    return (
+        cand.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -178,6 +178,40 @@ def test_lsh_ann_recall(spark, embeddings):
     assert len(exact & ann) >= 3
 
 
+def test_ivf_topk_recall_with_trained_centroids(spark, embeddings):
+    from docs_indexer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_kmeans,
+    )
+
+    rows = embeddings.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(embeddings, q, k=5).collect()}
+    cents = ivf_train_kmeans(embeddings, n_centroids=6, iters=6, sample=64)
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(embeddings, q, cents, k=5, nprobe=2).collect()
+    }
+    # the tight 5-vector cluster lands in one trained list → high recall
+    assert len(exact & got) >= 4
+
+
+def test_ivf_assign_is_exact_argmax(spark, embeddings):
+    import numpy as np
+
+    from docs_indexer_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(16, 5, seed=11)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(embeddings, cents).collect()
+    }
+    for r in embeddings.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert got[r["vec_id"]] == int(np.argmax(cents @ v))
+
+
 def test_embedding_near_duplicates(spark, embeddings):
     from docs_indexer_spark.operators.similarity import embedding_near_duplicates
 
