@@ -47,9 +47,21 @@ ENGLISH_STOPWORDS = frozenset(
     }
 )
 
-# latin-script "standard tokenizer": alphanumeric runs, apostrophe-joined
-# (UAX#29 MidLetter) — e.g. "don't" is one token.
-_TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z0-9]+)*")
+# "standard tokenizer" approximation (UAX#29 word-break, the Lucene
+# StandardTokenizer behaviors that matter):
+# - latin/digit runs, apostrophe-joined (MidLetter): "don't" is one token
+# - Hangul runs are words (ALetter)
+# - Katakana runs chain (the KATAKANA word-break property)
+# - Han ideographs and Hiragana emit as SINGLE-character tokens
+#   (IDEOGRAPHIC/Hiragana don't chain in UAX#29 — Lucene emits one token
+#   per ideograph; CJK bigramming is an analyzer concern, not tokenizer)
+_TOKEN_PATTERN = (
+    r"[a-z0-9]+(?:'[a-z0-9]+)*"
+    r"|[가-힯]+"          # Hangul syllable runs
+    r"|[゠-ヿ]+"          # Katakana runs
+    r"|[一-鿿぀-ゟ]"  # Han / Hiragana single chars
+)
+_TOKEN_RE = re.compile(_TOKEN_PATTERN)
 # the same token class as a Spark/DuckDB-shared split pattern (simple chain)
 SIMPLE_SPLIT_PATTERN = "[^a-z0-9]+"
 

@@ -248,13 +248,17 @@ def token_relations(
 
 
 def _tokenize_col(text):
-    """Apostrophe-aware standard-ish tokenizer as a native expression —
-    the exact regex the oracle's ``tokenize()`` uses."""
+    """Standard-ish tokenizer as a native expression — the EXACT pattern
+    the oracle's ``tokenize()`` uses (apostrophe-joined latin runs, Hangul
+    and Katakana runs, single Han/Hiragana chars; see
+    functions/analysis._TOKEN_PATTERN)."""
     from pyspark.sql import functions as F
+
+    from docs_indexer_spark.functions.analysis import _TOKEN_PATTERN
 
     return F.regexp_extract_all(
         F.lower(F.coalesce(text, F.lit(""))),
-        F.lit(r"[a-z0-9]+(?:'[a-z0-9]+)*"),
+        F.lit(_TOKEN_PATTERN),
         0,
     )
 

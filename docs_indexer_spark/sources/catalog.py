@@ -88,6 +88,46 @@ class SnapshotCatalog:
         with open(p) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    class _PublishLock:
+        """Single-writer commit guard (Iceberg's optimistic-commit
+        analogue, pessimistic here because POSIX gives us O_EXCL): the
+        swap + log append + expiry run under an exclusive lockfile so two
+        concurrent builds cannot interleave log writes or double-expire.
+        Stale locks (a crashed writer) are broken after ``stale_sec``."""
+
+        def __init__(self, path: str, timeout: float = 30.0,
+                     stale_sec: float = 300.0) -> None:
+            self.path = path
+            self.timeout = timeout
+            self.stale_sec = stale_sec
+
+        def __enter__(self):
+            deadline = time.time() + self.timeout
+            while True:
+                try:
+                    fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    return self
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(self.path) > self.stale_sec:
+                            os.unlink(self.path)  # break a crashed writer's lock
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"publish lock held too long: {self.path}"
+                        )
+                    time.sleep(0.05)
+
+        def __exit__(self, *exc):
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+
     def publish(self, table: str, generation: str, fingerprint: str,
                 metrics: dict | None = None, retain: int = 2) -> None:
         """Atomic alias swap (reference A19) + DEFERRED old-generation GC.
@@ -96,7 +136,8 @@ class SnapshotCatalog:
         holding its path (an open IndexReader, an in-flight query) keeps a
         complete index.  Instead the swap appends to a snapshot log and
         expires generations beyond the newest ``retain`` (current included)
-        — Iceberg's expireSnapshots policy, by count.
+        — Iceberg's expireSnapshots policy, by count.  The commit section
+        is single-writer (lockfile) so concurrent publishers serialize.
         """
         tdir = self._table_dir(table)
         meta = {
@@ -105,13 +146,14 @@ class SnapshotCatalog:
             "published_at": time.time(),
             "metrics": metrics or {},
         }
-        fd, tmp = tempfile.mkstemp(dir=tdir)
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._pointer_path(table))  # atomic on POSIX
-        with open(self._snapshot_log(table), "a") as f:
-            f.write(json.dumps(meta) + "\n")
-        self.expire_snapshots(table, retain=retain)
+        with self._PublishLock(os.path.join(tdir, ".publish.lock")):
+            fd, tmp = tempfile.mkstemp(dir=tdir)
+            with os.fdopen(fd, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._pointer_path(table))  # atomic on POSIX
+            with open(self._snapshot_log(table), "a") as f:
+                f.write(json.dumps(meta) + "\n")
+            self.expire_snapshots(table, retain=retain)
 
     def expire_snapshots(self, table: str, retain: int = 2) -> list[str]:
         """Delete all but the newest ``retain`` generations; returns the

@@ -72,6 +72,28 @@ def test_tokenize_apostrophe_and_numbers():
     assert tokenize("Don't stop-me now, 42nd") == ["don't", "stop", "me", "now", "42nd"]
 
 
+def test_tokenize_cjk_scripts(spark):
+    """Lucene StandardTokenizer behaviors: Han ideographs and Hiragana as
+    single-char tokens, Katakana and Hangul as runs — identical in the
+    Python tokenizer and the native Spark expression."""
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.operators.postings import _tokenize_col
+
+    text = "Spark处理大数据 and キャッシュ 한국어 텍스트 ひらがな"
+    want = [
+        "spark", "处", "理", "大", "数", "据", "and",
+        "キャッシュ", "한국어", "텍스트", "ひ", "ら", "が", "な",
+    ]
+    assert tokenize(text) == want
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(_tokenize_col(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == want
+
+
 def test_shingles():
     assert shingles(["a", "b", "c"]) == ["a", "b", "c", "a b", "b c", "a b c"]
     assert shingles(["a"]) == ["a"]

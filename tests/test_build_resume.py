@@ -70,6 +70,38 @@ def test_resume_after_failure(spark, documents, catalog):
     ]
 
 
+def test_concurrent_publish_serializes(tmp_path):
+    """Concurrent publishers must not interleave: every snapshot-log entry
+    survives and the pointer ends on one of the published generations
+    (single-writer lockfile — the Iceberg commit-conflict analogue)."""
+    import threading
+
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    catalog = SnapshotCatalog(str(tmp_path / "wh"))
+    gens = [catalog.stage_generation("index", f"fp{i}") for i in range(6)]
+    errs = []
+
+    def pub(i):
+        try:
+            catalog.publish("index", gens[i][0], f"fp{i}", retain=10)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=pub, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    log = catalog.snapshots("index")
+    assert len(log) == 6  # no lost log appends
+    assert {r["generation"] for r in log} == {g for g, _ in gens}
+    assert catalog.current_generation("index")["generation"] in {
+        g for g, _ in gens
+    }
+
+
 def test_atomic_publish_swaps_generation(spark, documents, catalog):
     build_index(spark, documents, catalog, fingerprint="fp-a",
                 id_col="doc_id", n_build_partitions=1)
