@@ -106,3 +106,38 @@ class IndexReader:
         return top.join(docs, "doc_id", "left").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+
+    def search_with_snippets(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = DEFAULT_TOP_K,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        width: int = 60,
+    ) -> DataFrame:
+        """Top-k + highlighted first fragments — OpenSearch's *plain*
+        highlighter semantics (re-analyze the stored text at query time;
+        no offsets need to live in the index).  ``docs`` is the corpus
+        relation carrying the text; the join touches only the k hits."""
+        from docs_indexer_spark.functions.analysis import tokenize
+        from docs_indexer_spark.functions.highlight import (
+            highlight_col,
+            snippet_col,
+        )
+
+        terms = sorted(set(tokenize(query)))
+        top = self.search(query, k=k)
+        joined = top.join(
+            docs.select(F.col(id_col).alias("doc_id"), text_col),
+            "doc_id",
+            "left",
+        )
+        return joined.select(
+            "doc_id",
+            "score",
+            snippet_col(text_col, terms, width=width).alias("snippet"),
+            highlight_col(
+                snippet_col(text_col, terms, width=width), terms
+            ).alias("snippet_html"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))

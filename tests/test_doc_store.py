@@ -44,6 +44,25 @@ def test_doc_store_has_rendering_fields(spark, published):
     assert html_doc["title"] == "t"
 
 
+def test_search_with_snippets(spark, published):
+    """Plain-highlighter parity: top-k hits joined to the corpus text,
+    query terms wrapped in <em> inside a bounded fragment."""
+    from docs_indexer_spark.plans.build_index import prepare_documents
+
+    reader = IndexReader(spark, published)
+    # the indexed term is stemmed; query with a raw corpus surface form
+    docs = prepare_documents(generate_corpus(spark, 250))
+    term_row = reader.df_stats.orderBy(F.desc("df")).first()
+    query = term_row["term"]
+    hits = reader.search_with_snippets(query, docs, k=5).collect()
+    assert hits
+    for h in hits:
+        assert h["snippet"], "fragment must be non-empty for a hit"
+        assert query in h["snippet"].lower()
+        assert f"<em>{query}" in h["snippet_html"].lower()
+        assert len(h["snippet"]) <= 60 * 2 + len(query) + 2
+
+
 def test_search_with_docs_renders(spark, published):
     reader = IndexReader(spark, published)
     term = reader.df_stats.orderBy(F.desc("df")).first()["term"]
