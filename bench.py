@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "phrase_match",
     "phrase_match_blocks",
     "suggest_correction",
+    "ann_lsh_neighbors",
+    "ann_ivf_topk",
+    "highlight_snippets",
 ]
 
 
@@ -67,7 +70,9 @@ def time_index_build(spark, sf_dir: str) -> tuple[float, int]:
     t0 = time.time()
     fb = fused_build_blocks(docs, analyzer="english")
     fb.blocks.write.mode("overwrite").format("noop").save()
-    return time.time() - t0, fb.n_docs
+    dt = time.time() - t0
+    fb.unpersist()
+    return dt, fb.n_docs
 
 
 def time_query_latency(spark, sf_dir: str, n_queries: int = 24):

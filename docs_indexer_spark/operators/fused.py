@@ -71,13 +71,24 @@ from docs_indexer_spark.operators.spimi import (
 
 
 class FusedBuild:
-    """Result bundle: blocks + dictionary + corpus stats."""
+    """Result bundle: blocks + dictionary + corpus stats.
 
-    def __init__(self, blocks, terms, n_docs, avgdl):
+    The dictionary relation is persisted during the build; call
+    :meth:`unpersist` once blocks/terms/df_stats are consumed (a
+    long-lived session otherwise accumulates one cached dict per build).
+    """
+
+    def __init__(self, blocks, terms, n_docs, avgdl, cached=None):
         self.blocks = blocks
         self.terms = terms
         self.n_docs = n_docs
         self.avgdl = avgdl
+        self._cached = cached
+
+    def unpersist(self) -> None:
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
     def df_stats(self) -> DataFrame:
         """(term_id, df) derived from block metadata — by construction
@@ -170,12 +181,18 @@ def fused_build_blocks(
     ).collect()[0]
     total_tokens = int(drow["total"] or 0)
     vocab_size = int(drow["v"])
-    n_docs = docs.count()
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    # one metadata-ish scan for corpus count + id range (merging these
+    # driver jobs matters at low core counts, where fixed per-job latency
+    # is what the dict/stats stage's scaling loses to)
     idrow = docs.agg(
-        F.max(id_col).alias("mx"), F.min(id_col).alias("mn")
+        F.count(F.lit(1)).alias("n"),
+        F.max(id_col).alias("mx"),
+        F.min(id_col).alias("mn"),
     ).collect()[0]
-    max_id, min_id = int(idrow["mx"]), int(idrow["mn"])
+    n_docs = int(idrow["n"])
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    max_id = int(idrow["mx"]) if idrow["mx"] is not None else 0
+    min_id = int(idrow["mn"]) if idrow["mn"] is not None else 0
 
     if n_buckets is None:
         # max df ≤ max cf: a safe (slightly generous) bucket-count bound
@@ -296,4 +313,4 @@ def fused_build_blocks(
         .drop("max_norm", "_df")
     )
     terms = rdict.select("term_id", "term").distinct()
-    return FusedBuild(blocks, terms, n_docs, avgdl)
+    return FusedBuild(blocks, terms, n_docs, avgdl, cached=rdict)
