@@ -416,6 +416,69 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+EMB_DUP_BITS, EMB_DUP_TABLES, EMB_DUP_SEED, EMB_DUP_THRESHOLD = 10, 3, 42, 0.3
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table random-hyperplane
+    LSH buckets + exact verification (the embedding arm of the dedup
+    plane).  Seeded planes → the oracle recomputes every table's
+    signatures, the bucket-join pair set, and the exact cosines."""
+    from docs_indexer_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = embedding_near_duplicates(
+        emb, threshold=EMB_DUP_THRESHOLD, bits=EMB_DUP_BITS,
+        tables=EMB_DUP_TABLES, seed=EMB_DUP_SEED,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_near_dups_oracle() -> str:
+    from docs_indexer_spark.operators.similarity import _hyperplanes
+
+    def lit_list(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    table_sigs = []
+    for t in range(EMB_DUP_TABLES):
+        planes = _hyperplanes(ANN_DIM, EMB_DUP_BITS, EMB_DUP_SEED + 7919 * t)
+        sig = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {lit_list(planes[i])}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(EMB_DUP_BITS)
+        )
+        table_sigs.append(f"SELECT vec_id, v, {t} AS tbl, ({sig}) AS sig FROM v")
+    sigs_union = "\n          UNION ALL\n          ".join(table_sigs)
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings WHERE vec_id < 300
+        ),
+        sigs AS (
+          {sigs_union}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                          a.v AS va, b.v AS vb
+          FROM sigs a JOIN sigs b
+            ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 list_inner_product(va, vb)
+                 / (sqrt(list_inner_product(va, va))
+                    * sqrt(list_inner_product(vb, vb))) AS c
+          FROM cand
+        )
+        SELECT id_a, id_b, round(c, 6) AS cosine
+        FROM scored WHERE c >= {EMB_DUP_THRESHOLD}
+        ORDER BY id_a, id_b
+    """
+
+
 IVF_N, IVF_SEED, IVF_NPROBE = 8, 7, 3
 
 
@@ -801,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_neighbors": q_ann_lsh_neighbors,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1159,4 +1223,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_neighbors": _ann_lsh_oracle(),
         "highlight_snippets": _highlight_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "embedding_near_dups": _embedding_near_dups_oracle(),
     }

@@ -70,16 +70,20 @@ class TokenRelations:
     - ``postings``: (term_id|term, doc_id, tf)
     - ``doclens``:  (doc_id, dl) — post-stopword token count per doc
     - ``terms``:    (term_id, term) dictionary (None in string mode)
+    - ``surfaces``: (raw, term_id) surface-form dictionary — every raw
+      token form that analyzes to each term (stem inversion); published so
+      the highlighter can wrap "running"/"runs" for a query stem "run"
 
     When built with ``cache=True`` the intermediate counts relation is
     persisted; call :meth:`unpersist` when done with ALL of the outputs,
     or a long-lived session accumulates cached relations per call.
     """
 
-    def __init__(self, postings, doclens, terms=None, cached=None):
+    def __init__(self, postings, doclens, terms=None, cached=None, surfaces=None):
         self.postings = postings
         self.doclens = doclens
         self.terms = terms
+        self.surfaces = surfaces
         self._cached = cached
 
     def unpersist(self) -> None:
@@ -125,7 +129,7 @@ def term_dictionary(
         stripped = F.regexp_replace(F.col("raw"), "'s$", "")
         stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOPWORDS)])
         rdict = rdict.select(
-            F.xxhash64("raw").alias("rid"), stripped.alias("stripped"), "cf"
+            "raw", F.xxhash64("raw").alias("rid"), stripped.alias("stripped"), "cf"
         ).filter(~F.array_contains(stop_arr, F.col("stripped")))
 
         @F.pandas_udf(StringType())
@@ -137,9 +141,11 @@ def term_dictionary(
         rdict = rdict.withColumn("term", _stem(F.col("stripped"))).drop("stripped")
     else:
         rdict = rdict.select(
-            F.xxhash64("raw").alias("rid"), F.col("raw").alias("term"), "cf"
+            "raw", F.xxhash64("raw").alias("rid"), F.col("raw").alias("term"), "cf"
         )
-    return rdict.select("rid", F.xxhash64("term").alias("term_id"), "term", "cf")
+    return rdict.select(
+        "raw", "rid", F.xxhash64("term").alias("term_id"), "term", "cf"
+    )
 
 
 def token_relations(
@@ -242,9 +248,12 @@ def token_relations(
     doclens = postings.groupBy(id_col).agg(F.sum("tf").cast("int").alias("dl"))
     terms = rdict.select("term_id", "term").distinct()
 
+    surfaces = rdict.select("raw", "term_id")
     if not term_ids:
         postings = postings.join(F.broadcast(terms), "term_id").drop("term_id")
-    return TokenRelations(postings, doclens, terms, cached=cached)
+    return TokenRelations(
+        postings, doclens, terms, cached=cached, surfaces=surfaces
+    )
 
 
 def _tokenize_col(text):

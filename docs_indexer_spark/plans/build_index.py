@@ -202,6 +202,9 @@ def build_index(
             f"{stage_root}/postings/p={p}"
         )
         rel.terms.write.mode("overwrite").parquet(f"{stage_root}/terms/p={p}")
+        rel.surfaces.write.mode("overwrite").parquet(
+            f"{stage_root}/surfaces/p={p}"
+        )
         rows = -1  # row count is recorded by stage-2 metrics; avoid extra job
         catalog.checkpoint_done(build_id, p, fingerprint, rows, started)
         n_done_now += 1
@@ -247,8 +250,17 @@ def build_index(
         params=params, n_buckets=n_buckets, positions=positions,
     )
 
+    surfaces = (
+        spark.read.parquet(f"{stage_root}/surfaces")
+        .select("raw", "term_id")
+        .distinct()
+    )
+
     gen, gen_path = catalog.stage_generation(table, fingerprint)
     spimi.write_blocks(blocks, f"{gen_path}/blocks.parquet")
+    surfaces.coalesce(8).write.mode("overwrite").parquet(
+        f"{gen_path}/surfaces.parquet"
+    )
     dfs.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/df_stats.parquet")
     doclens.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/doclens.parquet")
     if not id_col:

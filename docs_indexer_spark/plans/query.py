@@ -118,15 +118,34 @@ class IndexReader:
     ) -> DataFrame:
         """Top-k + highlighted first fragments — OpenSearch's *plain*
         highlighter semantics (re-analyze the stored text at query time;
-        no offsets need to live in the index).  ``docs`` is the corpus
-        relation carrying the text; the join touches only the k hits."""
-        from docs_indexer_spark.functions.analysis import tokenize
+        no offsets need to live in the index), upgraded with STEM
+        EXPANSION: the published surface-form dictionary maps each query
+        stem back to every raw token form that analyzes to it, so a query
+        "running" highlights "run"/"runs"/"running" — what index-time
+        offsets would give, without per-token offset storage.  ``docs``
+        is the corpus relation carrying the text; the join touches only
+        the k hits."""
+        from docs_indexer_spark.functions.analysis import analyze_text, tokenize
         from docs_indexer_spark.functions.highlight import (
             highlight_col,
             snippet_col,
         )
 
         terms = sorted(set(tokenize(query)))
+        stems = sorted(set(analyze_text(query, self.analyzer)))
+        try:  # generations published before the surfaces table lack it
+            surf = self.catalog.read(self.spark, "index", "surfaces.parquet")
+        except Exception:
+            surf = None
+        if surf is not None:
+            tid_rows = self.df_stats.filter(F.col("term").isin(stems)).select(
+                "term_id"
+            )
+            expanded = [
+                r["raw"]
+                for r in surf.join(F.broadcast(tid_rows), "term_id").collect()
+            ]
+            terms = sorted(set(terms) | set(expanded))
         top = self.search(query, k=k)
         joined = top.join(
             docs.select(F.col(id_col).alias("doc_id"), text_col),

@@ -63,6 +63,32 @@ def test_search_with_snippets(spark, published):
         assert len(h["snippet"]) <= 60 * 2 + len(query) + 2
 
 
+def test_snippet_stem_expansion(spark, tmp_path):
+    """A query stem highlights every surface form that analyzes to it —
+    the published surface dictionary inverts the stemmer, so 'running'
+    highlights 'runs' and 'run' too (what stored offsets would buy,
+    without per-token offset storage)."""
+    rows = [
+        (0, "the cat runs fast"),
+        (1, "cats were running very fast"),
+        (2, "a single run a day"),
+        (3, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    catalog = SnapshotCatalog(str(tmp_path / "wh"))
+    build_index(spark, docs, catalog, fingerprint="fp-stem",
+                id_col="doc_id", n_build_partitions=1)
+    reader = IndexReader(spark, catalog)
+    hits = {
+        r["doc_id"]: r
+        for r in reader.search_with_snippets("running", docs, k=4).collect()
+    }
+    assert set(hits) == {0, 1, 2}  # all three morphological variants score
+    assert "<em>runs</em>" in hits[0]["snippet_html"]
+    assert "<em>running</em>" in hits[1]["snippet_html"]
+    assert "<em>run</em>" in hits[2]["snippet_html"]
+
+
 def test_search_with_docs_renders(spark, published):
     reader = IndexReader(spark, published)
     term = reader.df_stats.orderBy(F.desc("df")).first()["term"]
