@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "suggest_correction",
     "ann_lsh_neighbors",
     "ann_ivf_topk",
+    "embedding_near_dups",
     "highlight_snippets",
 ]
 

@@ -48,6 +48,12 @@ def main() -> None:
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase query (requires a --positions build)")
 
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--input", required=True,
+                    help="corpus parquet (vocabulary + bigram LM source)")
+    sg.add_argument("--q", required=True)
+    sg.add_argument("--k", type=int, default=5)
+
     bb = sub.add_parser("bench-build")
     bb.add_argument("--input", required=True)
     bb.add_argument("--analyzer", default="english")
@@ -91,6 +97,18 @@ def main() -> None:
             "hits": hits,
         }
         print(json.dumps(out))
+    elif args.cmd == "suggest":
+        from docs_indexer_spark.operators.suggest import suggest_correction
+
+        docs = spark.read.parquet(args.input)
+        rows = suggest_correction(docs, args.q, k=args.k).collect()
+        print(json.dumps({
+            "query": args.q,
+            "suggestions": [
+                {"suggestion": r["suggestion"], "score": r["score"]}
+                for r in rows
+            ],
+        }))
     elif args.cmd == "bench-build":
         from pyspark.sql import functions as F
 
