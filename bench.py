@@ -77,10 +77,9 @@ def time_index_build(spark, sf_dir: str) -> tuple[float, int]:
 
 
 def time_query_latency(spark, sf_dir: str, n_queries: int = 24):
-    """Top-k BM25 p50/p95 over a published block index (warm session):
-    build once into a temp warehouse, query with vocabulary terms drawn
-    from the df table (mix of head and mid-frequency terms)."""
-    import statistics
+    """Serving-path latencies over a published POSITIONAL block index
+    (warm session): BM25 top-k p50/p95 and exact-phrase p50/p95, query
+    terms drawn from the df table (mix of head and mid-frequency)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -92,7 +91,7 @@ def time_query_latency(spark, sf_dir: str, n_queries: int = 24):
     catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="bench_wh_"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     build_index(spark, docs, catalog, "bench-fp", id_col="doc_id",
-                n_build_partitions=1)
+                n_build_partitions=1, positions=True)
     reader = IndexReader(spark, catalog)
     terms = [
         r["term"]
@@ -101,16 +100,26 @@ def time_query_latency(spark, sf_dir: str, n_queries: int = 24):
     queries = [
         " ".join(terms[i::12][:3]) for i in range(min(n_queries, 12))
     ] + [t for t in terms[:max(0, n_queries - 12)]]
-    reader.search(queries[0], k=10).collect()  # warm
-    lat = []
-    for q in queries[:n_queries]:
-        t0 = time.time()
-        reader.search(q, k=10).collect()
-        lat.append(time.time() - t0)
-    lat.sort()
-    p50 = lat[len(lat) // 2]
-    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
-    return round(p50, 4), round(p95, 4)
+
+    def pcts(fn, qs):
+        fn(qs[0])  # warm
+        lat = []
+        for q in qs:
+            t0 = time.time()
+            fn(q)
+            lat.append(time.time() - t0)
+        lat.sort()
+        return (
+            round(lat[len(lat) // 2], 4),
+            round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 4),
+        )
+
+    p50, p95 = pcts(lambda q: reader.search(q, k=10).collect(),
+                    queries[:n_queries])
+    phrases = [" ".join(terms[i: i + 2]) for i in range(0, 24, 2)]
+    pp50, pp95 = pcts(lambda q: reader.search_phrase(q, k=10).collect(),
+                      phrases)
+    return p50, p95, pp50, pp95
 
 
 def main() -> None:
@@ -175,9 +184,11 @@ def main() -> None:
     per_query["index_build_sec"] = round(build_sec, 3)
     per_query["index_build_docs_per_sec"] = round(n_docs / build_sec, 1)
 
-    p50, p95 = time_query_latency(spark, SF_DIR)
+    p50, p95, pp50, pp95 = time_query_latency(spark, SF_DIR)
     per_query["bm25_query_p50_sec"] = p50
     per_query["bm25_query_p95_sec"] = p95
+    per_query["phrase_query_p50_sec"] = pp50
+    per_query["phrase_query_p95_sec"] = pp95
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -36,7 +36,12 @@ class IndexReader:
         self.analyzer = meta["metrics"].get("analyzer", "english")
         self.n_docs = int(meta["metrics"]["n_docs"])
         self.blocks = catalog.read(spark, "index", "blocks.parquet")
-        self.df_stats = catalog.read(spark, "index", "df_stats.parquet")
+        # vocabulary-sized and consulted by EVERY query (idf + term-id
+        # lookups): cached for the reader's lifetime; close() releases
+        self.df_stats = catalog.read(spark, "index", "df_stats.parquet").persist()
+
+    def close(self) -> None:
+        self.df_stats.unpersist()
 
     def _idf(self, terms: list[str]) -> dict[int, float]:
         """term strings → {term_id: idf} via the published df_stats table
@@ -88,14 +93,13 @@ class IndexReader:
             )
         terms = [t for t, _ in terms_pos]
         offsets = [p for _, p in terms_pos]
-        tid_rows = self.df_stats.filter(F.col("term").isin(terms)).collect()
-        tid_by_term = {r["term"]: int(r["term_id"]) for r in tid_rows}
-        if any(t not in tid_by_term for t in terms):
-            # a phrase containing an unindexed term matches nothing
-            return self.spark.createDataFrame(
-                [], "doc_id long, n_occurrences int, first_pos int"
-            )
-        term_ids = [tid_by_term[t] for t in terms]
+        # term_id = xxhash64(term): one trivial local job, no vocabulary
+        # scan per query; an unindexed term simply has no blocks, so the
+        # inner position-join yields the correct empty result
+        row = self.spark.range(1).select(
+            *[F.xxhash64(F.lit(t)).alias(f"t{i}") for i, t in enumerate(terms)]
+        ).collect()[0]
+        term_ids = [int(row[f"t{i}"]) for i in range(len(terms))]
         return phrase_match_blocks(
             self.blocks, term_ids, offsets=offsets
         ).orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
