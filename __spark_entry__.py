@@ -1,15 +1,26 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-Every entry pairs a Spark DataFrame plan from docs_indexer_spark with an
-ANSI-SQL twin DuckDB runs on the same parquet tables.  The shared analysis
-chain for SQL-parity queries is the ``stop`` chain (lowercase → [a-z0-9]+
-split → english-stopword removal) — expressible identically on both sides;
-the full ``english`` chain (possessive + Porter) is verified in pytest
-against the package's single-process oracle instead (Porter in ANSI SQL is
-not reasonable).
+EVERY entry (32 queries) pairs a Spark DataFrame plan from
+docs_indexer_spark with an ANSI-SQL twin DuckDB runs on the same parquet
+tables — no rows-only rows.  The shared analysis chain for SQL-parity
+queries is the ``stop`` chain (lowercase → [a-z0-9]+ split →
+english-stopword removal) — expressible identically on both sides; the
+full ``english`` chain (possessive + Porter) is verified in pytest
+against the package's single-process oracle instead (Porter in ANSI SQL
+is not reasonable).
+
+Oracle techniques used where an operator looks "not SQL-expressible":
+- md5-derived hash families (minhash signatures, simhash halves) are
+  byte-identical in Spark and DuckDB;
+- seeded constants (LSH hyperplanes, IVF centroids) are generated in
+  Python at oracle-construction time and INLINED as SQL literals, so
+  DuckDB recomputes signatures/buckets/assignments bit-for-bit;
+- DuckDB's ``list_inner_product`` matches Spark's sequential zip_with
+  fold exactly, so cosine/dot parity holds at full float64 precision.
 
 Column names are aliased identically on both sides; float aggregates are
-rounded to 6 decimals on both sides so value-hashes compare equal.
+rounded to 6 decimals on both sides so value-hashes compare equal;
+integer sums are CAST to BIGINT in the twins (DuckDB sum → HUGEINT).
 """
 
 from __future__ import annotations
