@@ -77,36 +77,43 @@ def _stop_index(spark, sf_dir):
     return postings, doclens, n, avgdl
 
 
-_BM25_ORACLE_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({STOKS}) AS term FROM documents
-),
-postings AS (
-  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
-),
-doclens AS (
-  SELECT doc_id, len({STOKS}) AS dl FROM documents
-),
-stats AS (
-  SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens
-),
-dfs AS (
-  SELECT term, count(*) AS df FROM postings GROUP BY 1
-),
-scored AS (
-  SELECT p.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * p.tf / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) ) AS s
-  FROM postings p
-  JOIN dfs d USING (term)
-  JOIN doclens l USING (doc_id)
-  CROSS JOIN stats s
-  WHERE p.term IN {_TERMS_SQL}
-  GROUP BY 1
-)
-SELECT doc_id, round(s, 6) AS score
-FROM scored ORDER BY s DESC, doc_id LIMIT 10
-"""
+def _bm25_oracle(term_pred: str, having: str = "") -> str:
+    """BM25 twin parametrized by the term predicate (IN-list, LIKE prefix)
+    and an optional HAVING (boolean-AND semantics)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({STOKS}) AS term FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    doclens AS (
+      SELECT doc_id, len({STOKS}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens
+    ),
+    dfs AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                  * p.tf / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) ) AS s
+      FROM postings p
+      JOIN dfs d USING (term)
+      JOIN doclens l USING (doc_id)
+      CROSS JOIN stats s
+      WHERE {term_pred}
+      GROUP BY 1
+      {having}
+    )
+    SELECT doc_id, round(s, 6) AS score
+    FROM scored ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+
+_BM25_ORACLE_SQL = _bm25_oracle(f"p.term IN {_TERMS_SQL}")
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,6 +147,36 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
     top = wand_topk(fb.blocks, idf, sorted(idf), k=10)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND BM25 (OpenSearch operator:and): only docs containing
+    EVERY query term rank — a HAVING on per-doc distinct terms."""
+    postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
+    top = bm25.score_from_tokens(
+        postings, doclens, n, avgdl, BM25_TERMS, k=10, require_all=True
+    )
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+PREFIX = "s"
+
+
+def q_prefix_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query (OpenSearch prefix/wildcard with scoring_boolean
+    rewrite): expand the prefix over the vocabulary, BM25-sum the expanded
+    terms.  The expansion is a vocabulary-slice collect — |matching terms|
+    rows, never data rows."""
+    postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
+    terms = [
+        r["term"]
+        for r in postings.select("term")
+        .filter(F.col("term").startswith(PREFIX))
+        .distinct()
+        .collect()
+    ]
+    top = bm25.score_from_tokens(postings, doclens, n, avgdl, terms, k=10)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -859,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_and_topk": q_bm25_and_topk,
+        "prefix_search_topk": q_prefix_search_topk,
         "term_df_topn": q_term_df_topn,
         "doc_stats": q_doc_stats,
         "bigram_counts": q_bigram_counts,
@@ -1010,6 +1049,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_ORACLE_SQL,
         "bm25_wand_topk": _BM25_ORACLE_SQL,
+        "bm25_and_topk": _bm25_oracle(
+            f"p.term IN {_TERMS_SQL}",
+            having=f"HAVING count(DISTINCT p.term) = {len(BM25_TERMS)}",
+        ),
+        "prefix_search_topk": _bm25_oracle(f"p.term LIKE '{PREFIX}%'"),
         "term_df_topn": f"""
             WITH toks AS (SELECT doc_id, unnest({STOKS}) AS term FROM documents),
             postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1,2)

@@ -42,6 +42,7 @@ def score_from_tokens(
     query_terms: Iterable[str],
     params: BM25Params = BM25Params(),
     k: int = DEFAULT_TOP_K,
+    require_all: bool = False,
 ) -> DataFrame:
     """Exact BM25 top-k from the uncompressed postings relation.
 
@@ -49,6 +50,10 @@ def score_from_tokens(
     pruning on a term-sorted store) → join doc lengths on doc_id → per-term
     df over the *filtered* postings (tiny) joined back broadcast → native
     score expression → groupBy(doc_id).sum → TakeOrderedAndProject(k).
+
+    ``require_all=True`` is boolean-AND semantics (OpenSearch
+    ``operator: and``): only documents containing EVERY query term score —
+    a HAVING on the per-doc distinct-term count, no extra shuffle.
     """
     terms = sorted(set(query_terms))
     if not terms:
@@ -71,9 +76,18 @@ def score_from_tokens(
             ),
         )
         .groupBy("doc_id")
-        .agg(F.sum(F.col("idf") * F.col("tfn")).alias("score"))
+        .agg(
+            F.sum(F.col("idf") * F.col("tfn")).alias("score"),
+            F.count_distinct(F.col("term")).alias("_nt"),
+        )
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if require_all:
+        scored = scored.filter(F.col("_nt") == len(terms))
+    return (
+        scored.drop("_nt")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def decode_blocks_iter(
@@ -109,12 +123,17 @@ def score_from_blocks(
     idf: Mapping[int, float],
     query_term_ids: Iterable[int],
     k: int = DEFAULT_TOP_K,
+    require_all: bool = False,
 ) -> DataFrame:
     """Exact BM25 top-k from the compressed block index.
 
     The `term_id IN (...)` filter prunes row groups before any decode;
     decode is vectorized numpy inside mapInPandas; the final aggregate +
     top-k is native.
+
+    ``require_all=True`` = boolean AND: a document has at most one posting
+    per term, so the per-doc partial COUNT equals its distinct matched
+    terms — compared against the scoring term count, no extra shuffle.
     """
     terms = sorted(set(query_term_ids))
     if not terms:
@@ -126,5 +145,13 @@ def score_from_blocks(
         lambda it: decode_blocks_iter(it, idf),
         schema="doc_id long, partial double",
     )
-    scored = partials.groupBy("doc_id").agg(F.sum("partial").alias("score"))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    scored = partials.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"),
+        F.count(F.lit(1)).alias("_nt"),
+    )
+    if require_all:
+        n_scoring = len([t for t in terms if idf.get(int(t))])
+        scored = scored.filter(F.col("_nt") == n_scoring)
+    return (
+        scored.drop("_nt").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    )

@@ -57,14 +57,42 @@ class IndexReader:
         }
 
     def search(
-        self, query: str, k: int = DEFAULT_TOP_K, exact: bool = False
+        self,
+        query: str,
+        k: int = DEFAULT_TOP_K,
+        exact: bool = False,
+        operator: str = "or",
     ) -> DataFrame:
+        """``operator="and"`` = OpenSearch operator:and (every query term
+        must match) — routed through the exact scorer, whose per-doc
+        partial count gives the AND filter for free; WAND's upper-bound
+        pruning is an OR-semantics optimization."""
         terms = analyze_text(query, self.analyzer)
         idf = self._idf(sorted(set(terms)))
         ids = sorted(idf)
+        if operator == "and":
+            if len(ids) < len(set(terms)):
+                # a term absent from the index can never AND-match
+                return self.spark.createDataFrame([], "doc_id long, score double")
+            return bm25.score_from_blocks(
+                self.blocks, idf, ids, k=k, require_all=True
+            )
         if exact:
             return bm25.score_from_blocks(self.blocks, idf, ids, k=k)
         return wand.wand_topk(self.blocks, idf, ids, k=k)
+
+    def search_prefix(self, prefix: str, k: int = DEFAULT_TOP_K) -> DataFrame:
+        """Prefix query (scoring_boolean rewrite): expand over the
+        vocabulary (|matches| rows collected, never data rows), BM25-sum
+        the expansion through the block index."""
+        prefix = prefix.lower().rstrip("*")
+        rows = self.df_stats.filter(F.col("term").startswith(prefix)).collect()
+        n = self.n_docs
+        idf = {
+            int(r["term_id"]): math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in rows
+        }
+        return bm25.score_from_blocks(self.blocks, idf, sorted(idf), k=k)
 
     def search_phrase(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         """Exact-phrase search over a POSITIONAL index (built with

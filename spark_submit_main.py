@@ -47,6 +47,10 @@ def main() -> None:
     q.add_argument("--exact", action="store_true")
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase query (requires a --positions build)")
+    q.add_argument("--op", choices=["or", "and"], default="or",
+                   help="boolean semantics across query terms")
+    q.add_argument("--prefix", action="store_true",
+                   help="treat --q as a term prefix (vocabulary expansion)")
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--input", required=True,
@@ -88,8 +92,12 @@ def main() -> None:
                  "first_pos": r["first_pos"]}
                 for r in rows
             ]
+        elif args.prefix:
+            rows = reader.search_prefix(args.q, k=args.k).collect()
+            hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         else:
-            rows = reader.search(args.q, k=args.k, exact=args.exact).collect()
+            rows = reader.search(args.q, k=args.k, exact=args.exact,
+                                 operator=args.op).collect()
             hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         out = {
             "query": args.q,

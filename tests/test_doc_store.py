@@ -63,6 +63,41 @@ def test_search_with_snippets(spark, published):
         assert len(h["snippet"]) <= 60 * 2 + len(query) + 2
 
 
+def test_search_operator_and_and_prefix(spark, tmp_path):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha only here"),
+        (3, "beta appears alone"),
+        (4, "alphabet soup"),  # prefix 'alpha' should also match this
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    catalog = SnapshotCatalog(str(tmp_path / "wh"))
+    build_index(spark, docs, catalog, fingerprint="fp-op", id_col="doc_id",
+                n_build_partitions=1)
+    reader = IndexReader(spark, catalog)
+
+    or_hits = {r["doc_id"] for r in reader.search("alpha beta", k=10).collect()}
+    and_hits = {
+        r["doc_id"]
+        for r in reader.search("alpha beta", k=10, operator="and").collect()
+    }
+    assert and_hits == {0, 1}
+    assert and_hits <= or_hits and {2, 3} <= or_hits
+    # a query containing an unindexed term AND-matches nothing
+    assert reader.search("alpha zzzz", k=10, operator="and").count() == 0
+    # AND scores equal the OR scores of the same docs (same BM25 sum)
+    or_scores = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in reader.search("alpha beta", k=10, exact=True).collect()
+    }
+    for r in reader.search("alpha beta", k=10, operator="and").collect():
+        assert round(r["score"], 9) == or_scores[r["doc_id"]]
+
+    prefix_hits = {r["doc_id"] for r in reader.search_prefix("alpha").collect()}
+    assert prefix_hits == {0, 1, 2, 4}  # 'alphabet' matches via expansion
+
+
 def test_snippet_stem_expansion(spark, tmp_path):
     """A query stem highlights every surface form that analyzes to it —
     the published surface dictionary inverts the stemmer, so 'running'
