@@ -817,7 +817,10 @@ def q_suggest_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_correction(_docs(spark, sf_dir), MISSPELLED, k=5)
 
 
-def _suggest_oracle(q0: str, q1: str, max_edits: int = 2, penalty: float = 1.0) -> str:
+def _suggest_oracle(
+    q0: str, q1: str, max_edits: int = 2, penalty: float = 1.0,
+    num_candidates: int = 5,
+) -> str:
     return f"""
         WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
         vocab AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
@@ -833,12 +836,14 @@ def _suggest_oracle(q0: str, q1: str, max_edits: int = 2, penalty: float = 1.0) 
           FROM vocab
           WHERE abs(length(term) - {len(q0)}) <= {max_edits}
             AND levenshtein(term, '{q0}') <= {max_edits}
+          ORDER BY d0 ASC, cf DESC, term ASC LIMIT {num_candidates}
         ),
         c1 AS (
           SELECT term AS c1, cf AS cf1, levenshtein(term, '{q1}') AS d1
           FROM vocab
           WHERE abs(length(term) - {len(q1)}) <= {max_edits}
             AND levenshtein(term, '{q1}') <= {max_edits}
+          ORDER BY d1 ASC, cf DESC, term ASC LIMIT {num_candidates}
         ),
         pairs AS (
           SELECT c0.c0, c1.c1,

@@ -181,10 +181,25 @@ def markdown_to_html(markdown_text: str) -> str:
     implicitly: indented (4-space) code blocks, setext headings,
     horizontal rules, reference-style links, nested lists."""
     raw_lines = markdown_text.split("\n")
-    # pre-pass: reference-link definitions are consumed, never rendered
+    # pre-pass: reference-link definitions are consumed, never rendered.
+    # Fence-aware: a "[label]: url" line inside a ``` / ~~~ fenced block is
+    # code and must survive verbatim (python-markdown parses fences first).
+    # Indented (4-space/tab) code can never match _REF_DEF_RE (it allows at
+    # most 3 leading spaces), so only fences need tracking here.
     refs: dict[str, str] = {}
     lines: list[str] = []
+    fence_marker: str | None = None
     for ln in raw_lines:
+        if fence_marker is not None:
+            lines.append(ln)
+            if ln.rstrip().startswith(fence_marker * 3):
+                fence_marker = None
+            continue
+        fm = _FENCE_OPEN_RE.match(ln)
+        if fm:
+            fence_marker = fm.group(1)[0]
+            lines.append(ln)
+            continue
         d = _REF_DEF_RE.match(ln)
         if d:
             refs[d.group(1).lower()] = d.group(2)

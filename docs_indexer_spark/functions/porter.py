@@ -9,7 +9,9 @@ for suffix stripping", Program 14(3):130-137) in two step-2 rules, both
 applied here to keep Lucene parity:
 - ``bli`` → ``ble``   (the paper has ``abli`` → ``able``; e.g. "crumbly"
   now stems like Lucene does)
-- ``logi`` → ``log``  (added rule; "geology"/"geological" conflate)
+- ``logi`` → ``log``  (added rule; "analogy"/"analogical"/"analogous" all
+  conflate to "analog" — note "geology" does NOT conflate with
+  "geological": its m>0 condition fails on stem "geo", matching martin.c)
 
 This implementation follows the algorithm definition step by step; it is
 deliberately dependency-free so the exact same function object can be used

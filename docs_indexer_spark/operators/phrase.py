@@ -145,12 +145,15 @@ def phrase_match_blocks(
     for i in range(1, len(parts)):
         joined = joined.join(parts[i], id_col)
         acc = F.array_intersect(acc, F.col(f"p{i}"))
+    # _hits holds anchor positions shifted down by offsets[0]; add it back
+    # so first_pos is the first matched term's ACTUAL stream position even
+    # when the phrase starts with a filtered stopword (offsets[0] > 0).
     return (
         joined.select(F.col(id_col), acc.alias("_hits"))
         .filter(F.size("_hits") > 0)
         .select(
             id_col,
             F.size("_hits").alias("n_occurrences"),
-            F.array_min("_hits").alias("first_pos"),
+            (F.array_min("_hits") + F.lit(int(offsets[0]))).alias("first_pos"),
         )
     )

@@ -8,11 +8,24 @@ Re-expressed Spark-first in three declarative stages, all native
 expressions (levenshtein is a JVM built-in; no UDF):
 
 1. CANDIDATES — for each query token, vocabulary terms within
-   ``max_edits`` Levenshtein; pre-filtered by length difference (a
-   pushable predicate).  The vocabulary relation is corpus-derived and
-   tiny relative to the corpus (≤ ~10^8 rows at web scale), so each
-   candidate scan broadcasts; the SymSpell deletion-neighborhood index is
-   the constant-time upgrade path if vocabulary scans ever dominate.
+   ``max_edits`` Levenshtein.  Two interchangeable generators that yield
+   the SAME candidate set:
+   - scan: length-difference prefilter (pushable) + levenshtein verify;
+   - SymSpell deletion-neighborhood equi-join (``deletion_index``): the
+     index stores every ≤max_edits-deletion variant of every vocabulary
+     term; the query generates its own tiny variant set driver-side and
+     equi-joins.  If lev(a,b) ≤ d the two deletion neighborhoods
+     intersect (delete a's substituted+deleted chars / b's
+     substituted+inserted chars from an optimal alignment), so the join
+     is a guaranteed superset and the levenshtein verify makes it exact.
+     At web scale the index is built ONCE per published generation
+     (|V|·(1+L+L²/2) rows ≈ 45× vocabulary at L=8) and every query is a
+     hash-join probe instead of a vocabulary scan.
+   Each candidate set is then capped to ``num_candidates`` by
+   (dist asc, cf desc, term asc) — OpenSearch's phrase suggester caps
+   per-term candidates (default 5) for exactly the reason we must:
+   uncapped, phrase cardinality is the PRODUCT of per-token candidate
+   counts and explodes for 3+ short tokens over a web vocabulary.
 2. PHRASE ASSEMBLY — iterated join of adjacent candidate sets through the
    bigram table (the LM the repo already builds for B12).
 3. SCORING — add-0.5-smoothed log-likelihood:
@@ -66,10 +79,65 @@ def bigram_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bigrams.groupBy("bg.w1", "bg.w2").agg(F.count(F.lit(1)).alias("bc"))
 
 
+def _del1_col(col):
+    """array<string> of all single-character deletions of ``col`` (native;
+    guarded so a zero-length input yields [] — sequence(1,0) would count
+    DOWN in Spark, not return empty)."""
+    return F.when(
+        F.length(col) >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substring(col, F.lit(1), i - F.lit(1)),
+                    F.substring(col, i + F.lit(1), F.length(col)),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def deletion_index(vocab: DataFrame, max_edits: int = 2) -> DataFrame:
+    """(variant, term, cf) — SymSpell deletion-neighborhood index: one row
+    per distinct ≤``max_edits``-deletion variant of each vocabulary term
+    (the term itself included as the 0-deletion variant).
+
+    Built once per published vocabulary generation; candidate lookup then
+    becomes an equi-join on ``variant`` (see
+    :func:`term_candidates_from_index`) instead of a vocabulary scan.
+    """
+    base = vocab.select("term", "cf")
+    out = base.withColumn("variant", F.col("term")).select(
+        "variant", "term", "cf"
+    )
+    prev = base.select(
+        "term", "cf", F.explode(_del1_col(F.col("term"))).alias("variant")
+    )
+    out = out.unionByName(prev.select("variant", "term", "cf"))
+    for _ in range(max_edits - 1):
+        prev = prev.select(
+            "term", "cf", F.explode(_del1_col(F.col("variant"))).alias("variant")
+        )
+        out = out.unionByName(prev.select("variant", "term", "cf"))
+    return out.distinct()
+
+
+def _deletion_variants(token: str, max_edits: int) -> list[str]:
+    """All strings reachable from ``token`` by ≤``max_edits`` single-char
+    deletions (driver-side; |token|²/2-ish strings — tiny)."""
+    seen = {token}
+    frontier = {token}
+    for _ in range(max_edits):
+        frontier = {v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))}
+        seen |= frontier
+    return sorted(seen)
+
+
 def term_candidates(
     vocab: DataFrame, token: str, max_edits: int = 2
 ) -> DataFrame:
-    """(cand, cf, dist) vocabulary terms within ``max_edits`` of ``token``.
+    """(cand, cf, dist) vocabulary terms within ``max_edits`` of ``token``
+    — vocabulary-scan generator.
 
     The length-difference prefilter is a cheap necessary condition for the
     edit-distance bound and prunes most of the vocabulary before the
@@ -89,37 +157,49 @@ def term_candidates(
     )
 
 
-def suggest_correction(
-    docs: DataFrame,
-    query: str,
-    text_col: str = "text",
-    max_edits: int = 2,
-    k: int = 5,
-    penalty: float = 1.0,
+def term_candidates_from_index(
+    del_index: DataFrame, token: str, max_edits: int = 2
 ) -> DataFrame:
-    """(suggestion, score) — top-k corrected phrases for ``query``.
-
-    Works for any query length ≥ 1; the per-position candidate joins are
-    broadcast (candidate sets are tiny) and the bigram lookups are left
-    joins with +0.5 smoothing, so unseen-but-plausible corrections still
-    rank.
-    """
-    from docs_indexer_spark.functions.analysis import SIMPLE_SPLIT_PATTERN
-    import re
-
-    toks = [t for t in re.split(SIMPLE_SPLIT_PATTERN, query.lower()) if t]
-    if not toks:
-        raise ValueError("empty query")
-
-    vocab = vocabulary(docs, text_col)
-    bigrams = bigram_table(docs, text_col)
-    stats = vocab.agg(
-        F.sum("cf").cast("double").alias("T"),
-        F.count(F.lit(1)).cast("double").alias("V"),
+    """(cand, cf, dist) via the SymSpell deletion index: equi-join the
+    query's own deletion variants against ``variant``, then verify the
+    exact distance (the join is a guaranteed superset of lev ≤ max_edits,
+    so the verified set is IDENTICAL to :func:`term_candidates`)."""
+    variants = _deletion_variants(token, max_edits)
+    return (
+        del_index.filter(F.col("variant").isin(variants))
+        .select("term", "cf")
+        .distinct()
+        .select(
+            F.col("term").alias("cand"),
+            "cf",
+            F.levenshtein(F.col("term"), F.lit(token)).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_edits)
     )
 
+
+def _cap_candidates(cands: DataFrame, num_candidates: int) -> DataFrame:
+    """Top-``num_candidates`` by (dist asc, cf desc, cand asc) — the
+    deterministic per-term beam OpenSearch's phrase suggester applies
+    (default 5); without it phrase cardinality is the product of
+    per-token candidate counts."""
+    return cands.orderBy(
+        F.asc("dist"), F.desc("cf"), F.asc("cand")
+    ).limit(num_candidates)
+
+
+def _score_phrases(
+    candidate_sets: list[DataFrame],
+    bigrams: DataFrame,
+    stats: DataFrame,
+    k: int,
+    penalty: float,
+) -> DataFrame:
+    """Stages 2+3: iterated adjacent-candidate joins through the bigram LM
+    + smoothed log-likelihood scoring.  ``candidate_sets`` are the capped
+    per-token (cand, cf, dist) relations, in query order."""
     cur = (
-        term_candidates(vocab, toks[0], max_edits)
+        candidate_sets[0]
         .select(
             F.col("cand").alias("c0"),
             F.col("cf").alias("cf0"),
@@ -131,8 +211,8 @@ def suggest_correction(
             F.log((F.col("cf0") + 0.5) / (F.col("T") + 0.5 * F.col("V"))),
         )
     )
-    for i in range(1, len(toks)):
-        nxt = term_candidates(vocab, toks[i], max_edits).select(
+    for i in range(1, len(candidate_sets)):
+        nxt = candidate_sets[i].select(
             F.col("cand").alias(f"c{i}"),
             F.col("cf").alias(f"cf{i}"),
             F.col("dist").cast("double").alias(f"d{i}"),
@@ -162,7 +242,8 @@ def suggest_correction(
             .withColumn("dsum", F.col("dsum") + F.col(f"d{i}"))
             .drop("bc")
         )
-    suggestion = F.concat_ws(" ", *[F.col(f"c{i}") for i in range(len(toks))])
+    n_toks = len(candidate_sets)
+    suggestion = F.concat_ws(" ", *[F.col(f"c{i}") for i in range(n_toks)])
     return (
         cur.select(
             suggestion.alias("suggestion"),
@@ -173,3 +254,107 @@ def suggest_correction(
         .orderBy(F.desc("score"), F.asc("suggestion"))
         .limit(k)
     )
+
+
+def _split_query(query: str) -> list[str]:
+    from docs_indexer_spark.functions.analysis import SIMPLE_SPLIT_PATTERN
+    import re
+
+    return [t for t in re.split(SIMPLE_SPLIT_PATTERN, query.lower()) if t]
+
+
+def suggest_correction(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    max_edits: int = 2,
+    k: int = 5,
+    penalty: float = 1.0,
+    num_candidates: int = 5,
+) -> DataFrame:
+    """(suggestion, score) — top-k corrected phrases for ``query``
+    (self-contained form: derives vocabulary + bigram LM from ``docs``).
+
+    Works for any query length ≥ 1; per-position candidate sets are
+    capped to ``num_candidates`` (top by dist asc, cf desc — the
+    OpenSearch phrase-suggester beam) then broadcast through the
+    iterated bigram joins with +0.5 smoothing, so unseen-but-plausible
+    corrections still rank.  For repeated serving against one corpus use
+    :class:`Suggester`, which precomputes (and persists) the vocabulary,
+    bigram LM, and SymSpell deletion index.
+    """
+    toks = _split_query(query)
+    if not toks:
+        raise ValueError("empty query")
+
+    vocab = vocabulary(docs, text_col)
+    bigrams = bigram_table(docs, text_col)
+    stats = vocab.agg(
+        F.sum("cf").cast("double").alias("T"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    sets = [
+        _cap_candidates(term_candidates(vocab, t, max_edits), num_candidates)
+        for t in toks
+    ]
+    return _score_phrases(sets, bigrams, stats, k, penalty)
+
+
+class Suggester:
+    """Precomputed phrase suggester for repeated serving: vocabulary,
+    bigram LM, and the SymSpell deletion-neighborhood index are built
+    once (persisted) so each query is candidate equi-joins + the scoring
+    joins — no vocabulary scan, no corpus re-tokenization.
+
+    This is the per-published-generation precompute the module docstring
+    describes; results are identical to :func:`suggest_correction` on the
+    same corpus (the deletion join is superset + exact verify).
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        max_edits: int = 2,
+    ):
+        self.max_edits = max_edits
+        self.vocab = vocabulary(docs, text_col).persist()
+        self.bigrams = bigram_table(docs, text_col).persist()
+        self.del_index = deletion_index(self.vocab, max_edits).persist()
+        # vocabulary-sized aggregates, collected once
+        row = self.vocab.agg(
+            F.sum("cf").cast("double").alias("T"),
+            F.count(F.lit(1)).cast("double").alias("V"),
+        ).collect()[0]
+        self._t, self._v = float(row["T"]), float(row["V"])
+        # force-materialize the persisted relations so first-query latency
+        # is serving latency, not build latency
+        self.del_index.count()
+        self.bigrams.count()
+
+    def close(self) -> None:
+        for df in (self.vocab, self.bigrams, self.del_index):
+            df.unpersist()
+
+    def suggest(
+        self,
+        query: str,
+        k: int = 5,
+        penalty: float = 1.0,
+        num_candidates: int = 5,
+    ) -> DataFrame:
+        toks = _split_query(query)
+        if not toks:
+            raise ValueError("empty query")
+        spark = self.vocab.sparkSession
+        stats = spark.createDataFrame(
+            [(self._t, self._v)], "T double, V double"
+        )
+        sets = [
+            _cap_candidates(
+                term_candidates_from_index(self.del_index, t, self.max_edits),
+                num_candidates,
+            )
+            for t in toks
+        ]
+        return _score_phrases(sets, self.bigrams, stats, k, penalty)

@@ -163,7 +163,13 @@ class IndexReader:
             snippet_col,
         )
 
-        terms = sorted(set(tokenize(query)))
+        # OpenSearch's plain highlighter highlights ANALYZED query terms
+        # only: a raw token that analyzes to nothing (stopword) must not
+        # be highlighted or anchor the snippet, so keep only raw tokens
+        # that survive the analyzer.
+        terms = sorted(
+            {t for t in tokenize(query) if analyze_text(t, self.analyzer)}
+        )
         stems = sorted(set(analyze_text(query, self.analyzer)))
         try:  # generations published before the surfaces table lack it
             surf = self.catalog.read(self.spark, "index", "surfaces.parquet")

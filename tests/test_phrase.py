@@ -206,3 +206,25 @@ def test_phrase_match_blocks_equals_postings(spark):
         for r in phrase_match_blocks(blocks, tids).collect()
     }
     assert got == want
+
+
+def test_phrase_blocks_offsets_first_pos(spark, phrase_docs):
+    """A leading-stopword query ('the merge sort' → analyzed terms
+    [merge, sort] at offsets [1, 2]) must report first_pos as the ACTUAL
+    stream position of the first matched term, not the anchor shifted
+    down by offsets[0] (ADVICE r2)."""
+    blocks = _build_pos_blocks(spark, phrase_docs)
+    tids = [
+        spark.createDataFrame([(t,)], "t string")
+        .select(F.xxhash64("t"))
+        .collect()[0][0]
+        for t in ["merge", "sort"]
+    ]
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_match_blocks(blocks, tids, offsets=[1, 2]).collect()
+    }
+    # doc 0: merge@{0,6}, sort@{1,4,7} → adjacent at 0 and 6 → first 'merge' @0
+    # doc 1: merge@{1,5}, sort@{0,6}   → adjacent at 5     → first 'merge' @5
+    # doc 3: merge@{0},  sort@{1}      → adjacent at 0
+    assert got == {0: (2, 0), 1: (1, 5), 3: (1, 0)}
