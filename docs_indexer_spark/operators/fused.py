@@ -62,11 +62,10 @@ from docs_indexer_spark.operators.postings import (
     term_dictionary,
 )
 from docs_indexer_spark.operators.spimi import (
-    _RAW_BLOCKS_POS_SCHEMA,
-    _RAW_BLOCKS_SCHEMA,
     _encode_runs,
     _make_kernel,
     _RunCarry,
+    blocks_schema,
 )
 
 
@@ -98,7 +97,8 @@ class FusedBuild:
         )
 
 
-def _make_fused_kernel(norm_dtype, k1, b, avgdl, positions: bool):
+def _make_fused_kernel(norm_dtype, k1, b, avgdl, positions: bool,
+                       store_tf: bool = False):
     """Kernel over occurrence rows sorted by (term_id, bucket, doc_id
     [, pos]): dedupe adjacent equal (term_id, bucket, doc_id) into
     postings (run length = tf), compute the BM25 length norm vectorized,
@@ -127,7 +127,7 @@ def _make_fused_kernel(norm_dtype, k1, b, avgdl, positions: bool):
             "tf_norm": norms,
         }
         pos = (cols["pos"].astype(np.int64), tf) if positions else None
-        return _encode_runs(deduped, norm_dtype, pos)
+        return _encode_runs(deduped, norm_dtype, pos, store_tf=store_tf)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # occurrence rows, so runs are cf-sized (a head term's run spans
@@ -161,6 +161,7 @@ def fused_build_blocks(
     target_run_postings: int = 1_000_000,
     positions: bool = False,
     broadcast_vocab_limit: int = 50_000_000,
+    store_tf: bool = False,
 ) -> FusedBuild:
     """Build the compressed block index from raw documents with one
     data-sized shuffle.  See module docstring for the plan shape."""
@@ -270,7 +271,7 @@ def fused_build_blocks(
             "term_id", "bucket", "doc_id", "pos"
         ).mapInArrow(
             _make_fused_kernel(norm_dtype, params.k1, params.b, avgdl, True),
-            schema=_RAW_BLOCKS_POS_SCHEMA,
+            schema=blocks_schema(positions=True, raw=True),
         )
     else:
         # tf path: aggregate FIRST so the groupBy's map-side partial agg
@@ -296,8 +297,8 @@ def fused_build_blocks(
         )
         part = enriched.repartition(shuffle_partitions, "term_id", "bucket")
         raw = part.sortWithinPartitions("term_id", "bucket", "doc_id").mapInArrow(
-            _make_kernel(norm_dtype),
-            schema=_RAW_BLOCKS_SCHEMA,
+            _make_kernel(norm_dtype, store_tf=store_tf),
+            schema=blocks_schema(store_tf=store_tf, raw=True),
         )
 
     # df from block metadata: Σ n_docs over the term's blocks.  A window

@@ -49,20 +49,40 @@ from docs_indexer_spark.config import BLOCK_SIZE, BM25Params
 from docs_indexer_spark.operators.compression import varint_encode_with_lengths
 from docs_indexer_spark.operators.postings import idf_col
 
+# Scoring reads ONLY doc_ids_bin + tf_norms_bin (wand.py / bm25.py); raw
+# tf values are redundant with the stored norm on the serving path, so
+# the default block row does NOT carry a tfs_bin stream (−20-25% block
+# bytes through the encode exchange and at rest).  Positional blocks DO
+# keep it: per-posting position counts equal the tfs and segment the
+# positions_bin stream on decode.  ``store_tf=True`` opts a tf-path build
+# back in for debugging/inspection.
 BLOCKS_SCHEMA = (
     "term_id long, bucket int, block_seq int, n_docs int, "
     "first_doc_id long, last_doc_id long, max_tf int, max_score double, "
-    "doc_ids_bin binary, tfs_bin binary, tf_norms_bin binary"
+    "doc_ids_bin binary, tf_norms_bin binary"
 )
 # opt-in positional stream (reference mapping term_vector
 # with_positions_offsets, mappings/hugo.json:6,48,60): per posting, the
 # delta-gapped varint positions (first absolute); per-posting counts are
-# NOT stored — they equal the decoded tfs, so the payload is pure gaps
-BLOCKS_POS_SCHEMA = BLOCKS_SCHEMA + ", positions_bin binary"
+# the decoded tfs_bin, which positional blocks therefore retain
+BLOCKS_POS_SCHEMA = BLOCKS_SCHEMA.replace(
+    "doc_ids_bin binary", "doc_ids_bin binary, tfs_bin binary"
+) + ", positions_bin binary"
+
+
+def blocks_schema(positions: bool = False, store_tf: bool = False,
+                  raw: bool = False) -> str:
+    """DDL schema of a block row for the given build options.  ``raw``
+    selects the pre-idf kernel output (max_norm instead of max_score)."""
+    s = BLOCKS_POS_SCHEMA if positions else BLOCKS_SCHEMA
+    if store_tf and not positions:
+        s = s.replace("doc_ids_bin binary", "doc_ids_bin binary, tfs_bin binary")
+    return s.replace("max_score", "max_norm") if raw else s
+
 
 # kernel output before the block-level idf join
-_RAW_BLOCKS_SCHEMA = BLOCKS_SCHEMA.replace("max_score", "max_norm")
-_RAW_BLOCKS_POS_SCHEMA = BLOCKS_POS_SCHEMA.replace("max_score", "max_norm")
+_RAW_BLOCKS_SCHEMA = blocks_schema(raw=True)
+_RAW_BLOCKS_POS_SCHEMA = blocks_schema(positions=True, raw=True)
 
 _COLS = ["term_id", "bucket", "doc_id", "tf", "tf_norm"]
 
@@ -85,7 +105,7 @@ def _encode_positions(pos_vals, pos_lens, bs, be):
     return [stream[pb_off[s]: pb_off[e]] for s, e in zip(bs, be)]
 
 
-def _encode_runs(cols: dict, norm_dtype, pos=None) -> pa.RecordBatch:
+def _encode_runs(cols: dict, norm_dtype, pos=None, store_tf: bool = False) -> pa.RecordBatch:
     """Encode every (term, bucket) run of a sorted column batch into block
     rows.
 
@@ -139,9 +159,7 @@ def _encode_runs(cols: dict, norm_dtype, pos=None) -> pa.RecordBatch:
     gaps[bs] = ids[bs].astype(np.uint64)
 
     id_stream, id_lens = varint_encode_with_lengths(gaps)
-    tf_stream, tf_lens = varint_encode_with_lengths(tfs)
     id_off = np.concatenate(([0], np.cumsum(id_lens)))
-    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
     norm_bytes = np.ascontiguousarray(norms).tobytes()
     isz = norms.dtype.itemsize
 
@@ -155,14 +173,25 @@ def _encode_runs(cols: dict, norm_dtype, pos=None) -> pa.RecordBatch:
         pa.array(np.maximum.reduceat(tfs, bs).astype(np.int32), type=pa.int32()),
         pa.array(np.maximum.reduceat(fnorms, bs), type=pa.float64()),
         pa.array([id_stream[id_off[s]: id_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
-        pa.array([tf_stream[tf_off[s]: tf_off[e]] for s, e in zip(bs, be)], type=pa.binary()),
-        pa.array([norm_bytes[s * isz: e * isz] for s, e in zip(bs, be)], type=pa.binary()),
     ]
     names = [
         "term_id", "bucket", "block_seq", "n_docs", "first_doc_id",
-        "last_doc_id", "max_tf", "max_norm", "doc_ids_bin", "tfs_bin",
-        "tf_norms_bin",
+        "last_doc_id", "max_tf", "max_norm", "doc_ids_bin",
     ]
+    if pos is not None or store_tf:
+        # per-posting tfs: positional blocks NEED them (they segment the
+        # positions stream on decode); tf-path blocks carry them only on
+        # explicit opt-in — scoring never reads them
+        tf_stream, tf_lens = varint_encode_with_lengths(tfs)
+        tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+        arrays.append(
+            pa.array([tf_stream[tf_off[s]: tf_off[e]] for s, e in zip(bs, be)], type=pa.binary())
+        )
+        names.append("tfs_bin")
+    arrays.append(
+        pa.array([norm_bytes[s * isz: e * isz] for s, e in zip(bs, be)], type=pa.binary())
+    )
+    names.append("tf_norms_bin")
     if pos is not None:
         arrays.append(
             pa.array(_encode_positions(pos[0], pos[1], bs, be), type=pa.binary())
@@ -245,7 +274,7 @@ class _RunCarry:
             self.chunks, self.pos_chunks = [], []
 
 
-def _make_kernel(norm_dtype, positions: bool = False):
+def _make_kernel(norm_dtype, positions: bool = False, store_tf: bool = False):
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         carry = _RunCarry(positions)
         for batch in batches:
@@ -265,9 +294,9 @@ def _make_kernel(norm_dtype, positions: bool = False):
                     la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64),
                 )
             for mcols, mpos in carry.feed(cols, pos):
-                yield _encode_runs(mcols, norm_dtype, mpos)
+                yield _encode_runs(mcols, norm_dtype, mpos, store_tf=store_tf)
         for mcols, mpos in carry.flush():
-            yield _encode_runs(mcols, norm_dtype, mpos)
+            yield _encode_runs(mcols, norm_dtype, mpos, store_tf=store_tf)
 
     return kernel
 
@@ -286,6 +315,7 @@ def build_blocks(
     shuffle_partitions: int | None = None,
     target_run_postings: int = 1_000_000,
     positions: bool = False,
+    store_tf: bool = False,
 ) -> DataFrame:
     """(term, doc_id, tf) ⨝ dl ⨝ df → compressed block index.
 
@@ -364,8 +394,8 @@ def build_blocks(
     part = enriched.repartition(shuffle_partitions, "term_id", "bucket")
     sorted_part = part.sortWithinPartitions("term_id", "bucket", "doc_id")
     raw = sorted_part.mapInArrow(
-        _make_kernel(norm_dtype, positions=positions),
-        schema=_RAW_BLOCKS_POS_SCHEMA if positions else _RAW_BLOCKS_SCHEMA,
+        _make_kernel(norm_dtype, positions=positions, store_tf=store_tf),
+        schema=blocks_schema(positions=positions, store_tf=store_tf, raw=True),
     )
     idf_tbl = dfs.select(
         "term_id", idf_col(F.col("df"), n_docs).alias("_idf")

@@ -118,26 +118,24 @@ def main() -> None:
             ],
         }))
     elif args.cmd == "bench-build":
-        from pyspark.sql import functions as F
-
-        from docs_indexer_spark.operators import spimi
-        from docs_indexer_spark.operators.postings import (
-            corpus_stats, df_stats, token_relations,
-        )
+        # ONE production build path everywhere: this CLI, bench.py, and
+        # BENCH/scaling.py all measure operators/fused.fused_build_blocks,
+        # so there is a single "build throughput" number per configuration
+        from docs_indexer_spark.operators.fused import fused_build_blocks
+        from docs_indexer_spark.plans.build_index import prepare_documents
 
         docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            docs = prepare_documents(docs)
         t0 = time.time()
-        postings, doclens = token_relations(docs, "text", analyzer=args.analyzer)
-        n, avgdl = corpus_stats(doclens)
-        dfs = df_stats(postings)
-        ids = doclens.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")).collect()[0]
-        blocks = spimi.build_blocks(postings, doclens, dfs, n, avgdl,
-                                    int(ids["mx"]), int(ids["mn"]))
-        blocks.write.mode("overwrite").format("noop").save()
+        fb = fused_build_blocks(docs, analyzer=args.analyzer)
+        fb.blocks.write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
+        fb.unpersist()
         print(json.dumps({
-            "n_docs": n, "build_sec": round(dt, 3),
-            "docs_per_sec": round(n / dt, 1),
+            "n_docs": fb.n_docs, "build_sec": round(dt, 3),
+            "docs_per_sec": round(fb.n_docs / dt, 1),
+            "path": "fused",
             "parallelism": spark.sparkContext.defaultParallelism,
         }))
     spark.stop()

@@ -34,10 +34,13 @@ def _block_key(r):
 
 
 def _block_val(r):
+    d = r.asDict()
     return (
         r["n_docs"], r["first_doc_id"], r["last_doc_id"], r["max_tf"],
         round(r["max_score"], 9),
-        bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]), bytes(r["tf_norms_bin"]),
+        bytes(r["doc_ids_bin"]),
+        bytes(d["tfs_bin"]) if "tfs_bin" in d else None,
+        bytes(r["tf_norms_bin"]),
     )
 
 
@@ -91,3 +94,27 @@ def test_fused_df_stats_match(spark):
     }
     got = {r["term_id"]: r["df"] for r in fused.df_stats().collect()}
     assert got == want
+
+
+def test_tfs_bin_dropped_by_default(spark):
+    """Scoring never reads per-posting tfs, so the default tf-path block
+    row omits tfs_bin; store_tf=True opts back in with identical
+    doc_ids/norm streams; positional blocks always keep it (it segments
+    positions_bin on decode)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    lean = fused_build_blocks(docs, analyzer="stop", n_buckets=4)
+    assert "tfs_bin" not in lean.blocks.columns
+    fat = fused_build_blocks(docs, analyzer="stop", n_buckets=4, store_tf=True)
+    assert "tfs_bin" in fat.blocks.columns
+    want = {_block_key(r): (bytes(r["doc_ids_bin"]), bytes(r["tf_norms_bin"]))
+            for r in lean.blocks.collect()}
+    got = {_block_key(r): (bytes(r["doc_ids_bin"]), bytes(r["tf_norms_bin"]))
+           for r in fat.blocks.collect()}
+    assert got == want
+    # the opted-in stream is real and non-empty
+    row = fat.blocks.filter(F.length("tfs_bin") > 0).first()
+    assert row is not None
+    lean.unpersist()
+    fat.unpersist()
