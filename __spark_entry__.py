@@ -174,6 +174,122 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
+# The production analyzer's query: raw inflected forms whose Porter stems
+# (merg/queri/sort) conflate with the corpus surface forms merge/query/
+# sort — green only if possessive-strip + stopword + Porter run end-to-end
+EN_QUERY = "merges queries sorting"
+
+_STEMMAP_CACHE: list[tuple[str, str]] | None = None
+
+
+def _english_stemmap() -> list[tuple[str, str]]:
+    """(raw, stem) for every distinct simple-chain token in the test
+    corpora, analyzed with the package's english chain (possessive strip →
+    stopword filter → Porter); stopword forms are omitted so an inner join
+    drops them.  This is the same inlined-constants oracle technique the
+    LSH/IVF rows use: the dictionary is generated in Python at
+    oracle-construction time and inlined as SQL VALUES, so DuckDB never
+    needs a Porter implementation.  The union over all SF dirs makes the
+    map corpus-complete whichever SF the gate runs at (a stem is a pure
+    function of the token, so extra entries are harmless)."""
+    global _STEMMAP_CACHE
+    if _STEMMAP_CACHE is not None:
+        return _STEMMAP_CACHE
+    import os
+
+    import duckdb
+
+    from docs_indexer_spark.functions.analysis import analyze_text
+
+    dirs = [
+        "/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", ""),
+    ]
+    con = duckdb.connect()
+    vocab: set[str] = set()
+    for d in dirs:
+        p = f"{d}/documents.parquet"
+        if d and os.path.exists(p):
+            vocab.update(
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT unnest({TOKS}) FROM '{p}'"
+                ).fetchall()
+            )
+    pairs = []
+    for raw in sorted(vocab):
+        out = analyze_text(raw, "english")
+        if out:
+            pairs.append((raw, out[0]))
+    _STEMMAP_CACHE = pairs
+    return pairs
+
+
+def q_bm25_english_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 under the PRODUCTION ``english`` analyzer (possessive
+    strip + stopword + Porter — the build_index default and the chain a
+    100-TB build runs), answered through the fused block index + block-max
+    WAND.  The oracle twin stems via the inlined surface→stem dictionary
+    (see :func:`_english_stemmap`), so this row driver-gates the analyzer
+    plane that was previously pytest-only (round-2 verdict item 1)."""
+    import numpy as np
+
+    from docs_indexer_spark.functions.analysis import analyze_text
+    from docs_indexer_spark.operators.postings import idf_col
+    from docs_indexer_spark.operators.wand import wand_topk
+
+    fb = _fused_cached(spark, sf_dir, "english", norm_dtype=np.float64)
+    stems = sorted(set(analyze_text(EN_QUERY, "english")))
+    idf_rows = (
+        fb.terms.filter(F.col("term").isin(stems))
+        .join(fb.df_stats(), "term_id")
+        .withColumn("idf", idf_col(F.col("df"), fb.n_docs))
+        .collect()
+    )
+    idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
+    top = wand_topk(fb.blocks, idf, sorted(idf), k=10)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_english_oracle(query: str) -> str:
+    from docs_indexer_spark.functions.analysis import analyze_text
+
+    pairs = _english_stemmap()
+    values = ", ".join(f"('{r}', '{s}')" for r, s in pairs)
+    stems = sorted(set(analyze_text(query, "english")))
+    stems_sql = "(" + ",".join(f"'{s}'" for s in stems) + ")"
+    return f"""
+    WITH stemmap(raw, term) AS (VALUES {values}),
+    toks AS (SELECT doc_id, unnest({TOKS}) AS raw FROM documents),
+    analyzed AS (
+      SELECT t.doc_id, s.term FROM toks t JOIN stemmap s ON s.raw = t.raw
+    ),
+    postings AS (
+      SELECT term, doc_id, count(*) AS tf FROM analyzed GROUP BY 1, 2
+    ),
+    doclens AS (
+      SELECT d.doc_id, count(a.term) AS dl
+      FROM documents d LEFT JOIN analyzed a USING (doc_id) GROUP BY 1
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+    dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    scored AS (
+      SELECT p.doc_id,
+             sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                  * p.tf / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) ) AS s
+      FROM postings p
+      JOIN dfs d USING (term)
+      JOIN doclens l USING (doc_id)
+      CROSS JOIN stats s
+      WHERE p.term IN {stems_sql}
+      GROUP BY 1
+    )
+    SELECT doc_id, round(s, 6) AS score
+    FROM scored ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+
 def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean-AND BM25 (OpenSearch operator:and): only docs containing
     EVERY query term rank — a HAVING on per-doc distinct terms."""
@@ -568,13 +684,72 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-def _ann_ivf_oracle() -> str:
+# trained-IVF row: an alternating-sign query so the probed lists differ
+# from the seeded row's
+_IVF_TRAINED_QVEC = [1.0 if i % 2 == 0 else -1.0 for i in range(ANN_DIM)]
+_IVF_TRAIN_PARQUET = "/root/testdata/sf0.001/embeddings.parquet"
+_IVF_TRAINED_CACHE = None
+
+
+def _ivf_trained_centroids():
+    """Train the IVF quantizer on the FIXED sf0.001 sample — a model
+    artifact, deterministic whichever SF the gate runs at — with the same
+    numpy core (kmeans_cosine) ivf_train_kmeans uses, so the inlined SQL
+    constants are bit-identical to the Spark side's live training."""
+    global _IVF_TRAINED_CACHE
+    if _IVF_TRAINED_CACHE is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from docs_indexer_spark.operators.similarity import kmeans_cosine
+
+        t = pq.read_table(_IVF_TRAIN_PARQUET, columns=["vec_id", "embedding"])
+        order = np.argsort(t.column("vec_id").to_numpy())
+        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        _IVF_TRAINED_CACHE = kmeans_cosine(
+            x[order][:4096], IVF_N, iters=8, seed=IVF_SEED
+        )
+    return _IVF_TRAINED_CACHE
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids: ivf_train_kmeans (Lloyd's, cosine
+    assignment) runs live on the deterministic sf0.001 sample, then the
+    probed-list search runs over the gate corpus — the production
+    train-once/serve-everywhere shape.  The oracle twin retrains the
+    identical sample in Python at oracle-construction time and inlines the
+    centroids (round-2 verdict item 5)."""
+    from docs_indexer_spark.operators.similarity import ivf_topk, ivf_train_kmeans
+
+    train = spark.read.parquet(_IVF_TRAIN_PARQUET)
+    cents = ivf_train_kmeans(
+        train, IVF_N, iters=8, sample=4096, seed=IVF_SEED
+    )
+    top = ivf_topk(
+        _read(spark, sf_dir, "embeddings"), _IVF_TRAINED_QVEC, cents,
+        k=10, nprobe=IVF_NPROBE,
+    )
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _np():
     import numpy as np
 
-    from docs_indexer_spark.operators.similarity import ivf_centroids
+    return np
 
-    cents = ivf_centroids(ANN_DIM, IVF_N, IVF_SEED)
-    qv = np.ones(ANN_DIM)
+
+def _similarity_mod():
+    from docs_indexer_spark.operators import similarity
+
+    return similarity
+
+
+def _ivf_oracle_sql(cents, qv) -> str:
+    """IVF twin parametrized by (inlined) centroids + query vector —
+    shared by the seeded and the TRAINED centroid rows."""
+    import numpy as np
+
+    n_cent = len(cents)
     qn = qv / np.linalg.norm(qv)
     order = np.argsort(-(cents @ qn))
     probes = "(" + ",".join(str(int(c)) for c in order[:IVF_NPROBE]) + ")"
@@ -584,14 +759,14 @@ def _ann_ivf_oracle() -> str:
 
     dots = ", ".join(
         f"list_inner_product(v, {lit_list(cents[i])}) AS d{i}"
-        for i in range(IVF_N)
+        for i in range(n_cent)
     )
-    m = "greatest(" + ",".join(f"d{i}" for i in range(IVF_N)) + ")"
+    m = "greatest(" + ",".join(f"d{i}" for i in range(n_cent)) + ")"
     assign_case = (
-        "CASE " + " ".join(f"WHEN d{i} = {m} THEN {i}" for i in range(IVF_N))
+        "CASE " + " ".join(f"WHEN d{i} = {m} THEN {i}" for i in range(n_cent))
         + " END"
     )
-    ones = "[" + ",".join(["1.0"] * ANN_DIM) + "]"
+    ones = lit_list(qv)
     qnorm = repr(float(np.linalg.norm(qv)))
     return f"""
         WITH v AS (
@@ -921,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_english_topk": q_bm25_english_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "prefix_search_topk": q_prefix_search_topk,
         "term_df_topn": q_term_df_topn,
@@ -939,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_neighbors": q_ann_lsh_neighbors,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1074,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_ORACLE_SQL,
         "bm25_wand_topk": _BM25_ORACLE_SQL,
+        "bm25_english_topk": _bm25_english_oracle(EN_QUERY),
         "bm25_and_topk": _bm25_oracle(
             f"p.term IN {_TERMS_SQL}",
             having=f"HAVING count(DISTINCT p.term) = {len(BM25_TERMS)}",
@@ -1302,6 +1480,13 @@ def oracle_sql() -> dict[str, str]:
         "suggest_correction": _suggest_oracle(*MISSPELLED.split()),
         "ann_lsh_neighbors": _ann_lsh_oracle(),
         "highlight_snippets": _highlight_oracle(),
-        "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_ivf_topk": _ivf_oracle_sql(
+            _similarity_mod().ivf_centroids(ANN_DIM, IVF_N, IVF_SEED),
+            _np().ones(ANN_DIM),
+        ),
+        "ann_ivf_trained": _ivf_oracle_sql(
+            _ivf_trained_centroids(),
+            _np().asarray(_IVF_TRAINED_QVEC, dtype="float64"),
+        ),
         "embedding_near_dups": _embedding_near_dups_oracle(),
     }

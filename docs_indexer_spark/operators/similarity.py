@@ -109,6 +109,27 @@ def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def kmeans_cosine(
+    x: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 7
+) -> np.ndarray:
+    """Lloyd's k-means with cosine assignment on a numpy sample —
+    the shared trainer core, so an external oracle can recompute the
+    EXACT centroids from the same sample rows (bit-identical float64
+    arithmetic) and inline them as SQL constants."""
+    x = np.asarray(x, dtype=np.float64)
+    cent = ivf_centroids(x.shape[1], n_centroids, seed)
+    for _ in range(iters):
+        # cosine assignment on normalized data
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
 def ivf_train_kmeans(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -129,17 +150,7 @@ def ivf_train_kmeans(
         .collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
-    cent = ivf_centroids(x.shape[1], n_centroids, seed)
-    for _ in range(iters):
-        # cosine assignment on normalized data
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        assign = np.argmax(xn @ cent.T, axis=1)
-        for c in range(n_centroids):
-            members = x[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
-    return cent
+    return kmeans_cosine(x, n_centroids, iters, seed)
 
 
 def ivf_assign(

@@ -62,3 +62,46 @@ def test_keyword_filter_pushes_down(spark):
     plan = _plan(E.queries()["keyword_filter_facet"](spark, SF))
     assert "PushedFilters" in plan
     assert "EqualTo(lang,en)" in plan.replace(" ", "").replace("'", "")
+
+
+# Cross-join whitelist: plans where a BroadcastNestedLoopJoin is BOUNDED
+# BY CONSTRUCTION, with the bound.  Anything else sweeping in a nested-
+# loop or cartesian join fails CI before it fails a cluster.
+_BNLJ_WHITELIST = {
+    # sliced exact-math parity probes (oracle twins of candidate-driven
+    # production operators): inputs hard-capped in the query text
+    "ngram_jaccard_pairs",     # doc_id < 60 slice, all-pairs verify probe
+    "embedding_pair_cosine",   # vec_id < 80 slice, all-pairs cosine probe
+    # phrase-suggester assembly: crossJoins are per-term candidate BEAMS
+    # (≤ num_candidates=5 rows each) and the 1-row corpus-stats relation
+    "suggest_correction",
+}
+
+
+def test_every_entry_plan_is_cartesian_free(spark):
+    """Sweep ALL queries() plans: no CartesianProduct anywhere; a
+    BroadcastNestedLoopJoin only in the whitelisted bounded probes — a
+    future edit that unbounds a slice or drops a join key fails here."""
+    queries = E.queries()
+    offenders = {}
+    for name, fn in sorted(queries.items()):
+        plan = _plan(fn(spark, SF))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_WHITELIST:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
+
+
+def test_parity_probes_stay_sliced(spark):
+    """The whitelisted all-pairs probes must keep their input slices: the
+    bound is what makes the BNLJ acceptable."""
+    import inspect
+
+    src_jac = inspect.getsource(E.q_ngram_jaccard_pairs)
+    src_cos = inspect.getsource(E.q_embedding_pair_cosine)
+    assert "doc_id" in src_jac and "< 60" in src_jac.replace("<60", "< 60")
+    assert "vec_id" in src_cos and "< 80" in src_cos.replace("<80", "< 80")
