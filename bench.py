@@ -39,6 +39,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "bm25_topk",
     "bm25_wand_topk",
+    "bm25_english_topk",
     "term_df_topn",
     "bigram_counts",
     "keyword_filter_facet",
@@ -56,6 +57,7 @@ BENCH_QUERIES = [
     "suggest_correction",
     "ann_lsh_neighbors",
     "ann_ivf_topk",
+    "ann_ivf_trained",
     "embedding_near_dups",
     "highlight_snippets",
 ]

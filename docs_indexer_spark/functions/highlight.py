@@ -18,8 +18,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def _alts(terms: list[str]) -> str:
+    # longest-first: regex alternation is first-match-wins, so "spark"
+    # before "spark's" would highlight only the prefix of the possessive
+    return "|".join(sorted(terms, key=lambda t: (-len(t), t)))
+
+
 def _pattern(terms: list[str]) -> str:
-    return r"(?i)\b(" + "|".join(terms) + r")\b"
+    return r"(?i)\b(" + _alts(terms) + r")\b"
 
 
 def highlight_col(text_col, terms: list[str], pre: str = "<em>", post: str = "</em>"):
@@ -35,7 +41,7 @@ def snippet_col(text_col, terms: list[str], width: int = 40):
     if not terms:
         return F.lit("")
     pat = (
-        r"(?i)(.{0," + str(width) + r"}\b(?:" + "|".join(terms)
+        r"(?i)(.{0," + str(width) + r"}\b(?:" + _alts(terms)
         + r")\b.{0," + str(width) + r"})"
     )
     return F.regexp_extract(text_col, pat, 1)

@@ -132,6 +132,39 @@ class IndexReader:
             self.blocks, term_ids, offsets=offsets
         ).orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
 
+    def highlight_terms(self, query: str) -> list[str]:
+        """Surface-form term set the highlighter should mark for ``query``
+        — OpenSearch's plain-highlighter semantics with STEM EXPANSION:
+
+        - only raw query tokens that SURVIVE the analyzer count (a
+          stopword is never highlighted);
+        - the published surface dictionary maps each query stem back to
+          every corpus token form that analyzes to it, so highlighting is
+          equivalent to what index-time offsets would mark (every indexed
+          occurrence of a token whose stem matches a query stem) — the
+          equivalence is pinned by tests/test_highlight_offsets.py.
+        """
+        from docs_indexer_spark.functions.analysis import analyze_text, tokenize
+
+        terms = sorted(
+            {t for t in tokenize(query) if analyze_text(t, self.analyzer)}
+        )
+        stems = sorted(set(analyze_text(query, self.analyzer)))
+        try:  # generations published before the surfaces table lack it
+            surf = self.catalog.read(self.spark, "index", "surfaces.parquet")
+        except Exception:
+            surf = None
+        if surf is not None:
+            tid_rows = self.df_stats.filter(F.col("term").isin(stems)).select(
+                "term_id"
+            )
+            expanded = [
+                r["raw"]
+                for r in surf.join(F.broadcast(tid_rows), "term_id").collect()
+            ]
+            terms = sorted(set(terms) | set(expanded))
+        return terms
+
     def search_with_docs(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         top = self.search(query, k=k)
         docs = self.catalog.read(self.spark, "index", "docs.parquet")
@@ -157,33 +190,12 @@ class IndexReader:
         offsets would give, without per-token offset storage.  ``docs``
         is the corpus relation carrying the text; the join touches only
         the k hits."""
-        from docs_indexer_spark.functions.analysis import analyze_text, tokenize
         from docs_indexer_spark.functions.highlight import (
             highlight_col,
             snippet_col,
         )
 
-        # OpenSearch's plain highlighter highlights ANALYZED query terms
-        # only: a raw token that analyzes to nothing (stopword) must not
-        # be highlighted or anchor the snippet, so keep only raw tokens
-        # that survive the analyzer.
-        terms = sorted(
-            {t for t in tokenize(query) if analyze_text(t, self.analyzer)}
-        )
-        stems = sorted(set(analyze_text(query, self.analyzer)))
-        try:  # generations published before the surfaces table lack it
-            surf = self.catalog.read(self.spark, "index", "surfaces.parquet")
-        except Exception:
-            surf = None
-        if surf is not None:
-            tid_rows = self.df_stats.filter(F.col("term").isin(stems)).select(
-                "term_id"
-            )
-            expanded = [
-                r["raw"]
-                for r in surf.join(F.broadcast(tid_rows), "term_id").collect()
-            ]
-            terms = sorted(set(terms) | set(expanded))
+        terms = self.highlight_terms(query)
         top = self.search(query, k=k)
         joined = top.join(
             docs.select(F.col(id_col).alias("doc_id"), text_col),
