@@ -124,6 +124,33 @@ def time_query_latency(spark, sf_dir: str, n_queries: int = 24):
     return p50, p95, pp50, pp95
 
 
+def time_suggest_latency(spark, sf_dir: str) -> tuple[float, float, float]:
+    """Precomputed-Suggester serving path (SymSpell deletion-index
+    candidates): returns (precompute_sec, p50, p95) over misspelled
+    2-token queries."""
+    from docs_indexer_spark.operators.suggest import Suggester
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    sg = Suggester(docs)
+    precompute = time.time() - t0
+    queries = ["tabel scann", "windoq jion", "sorr merge", "grupo bye",
+               "filtr queri", "streem batch", "vectr hash", "colum roww"]
+    sg.suggest(queries[0]).collect()  # warm
+    lat = []
+    for q in queries:
+        t0 = time.time()
+        sg.suggest(q, k=5).collect()
+        lat.append(time.time() - t0)
+    sg.close()
+    lat.sort()
+    return (
+        round(precompute, 3),
+        round(lat[len(lat) // 2], 4),
+        round(lat[-1], 4),
+    )
+
+
 def main() -> None:
     spark = get_spark(
         app_name="docs-indexer-bench",
@@ -191,6 +218,11 @@ def main() -> None:
     per_query["bm25_query_p95_sec"] = p95
     per_query["phrase_query_p50_sec"] = pp50
     per_query["phrase_query_p95_sec"] = pp95
+
+    sp, sp50, sp95 = time_suggest_latency(spark, SF_DIR)
+    per_query["suggest_precompute_sec"] = sp
+    per_query["suggest_query_p50_sec"] = sp50
+    per_query["suggest_query_p95_sec"] = sp95
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -258,6 +258,9 @@ def build_index(
 
     gen, gen_path = catalog.stage_generation(table, fingerprint)
     spimi.write_blocks(blocks, f"{gen_path}/blocks.parquet")
+    # Iceberg-manifest analogue: per-file term_id min/max from parquet
+    # footers, so per-query reads drop whole files before footer I/O
+    SnapshotCatalog.write_manifest(f"{gen_path}/blocks.parquet", "term_id")
     surfaces.coalesce(8).write.mode("overwrite").parquet(
         f"{gen_path}/surfaces.parquet"
     )

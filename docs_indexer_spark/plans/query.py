@@ -43,6 +43,20 @@ class IndexReader:
     def close(self) -> None:
         self.df_stats.unpersist()
 
+    def _blocks_for(self, term_ids: list[int]) -> DataFrame:
+        """Per-query block relation, manifest-pruned to the files whose
+        term_id range can contain a query term (Iceberg manifest-level
+        pruning; generations published before manifests fall back to the
+        full relation — the query's own IN-filter stays correct either
+        way)."""
+        try:
+            return self.catalog.read_pruned(
+                self.spark, "index", "blocks.parquet", "term_id",
+                [int(t) for t in term_ids],
+            )
+        except Exception:
+            return self.blocks
+
     def _idf(self, terms: list[str]) -> dict[int, float]:
         """term strings → {term_id: idf} via the published df_stats table
         (which carries the string↔id mapping; vocabulary-sized, filtered
@@ -70,16 +84,17 @@ class IndexReader:
         terms = analyze_text(query, self.analyzer)
         idf = self._idf(sorted(set(terms)))
         ids = sorted(idf)
+        blocks = self._blocks_for(ids)
         if operator == "and":
             if len(ids) < len(set(terms)):
                 # a term absent from the index can never AND-match
                 return self.spark.createDataFrame([], "doc_id long, score double")
             return bm25.score_from_blocks(
-                self.blocks, idf, ids, k=k, require_all=True
+                blocks, idf, ids, k=k, require_all=True
             )
         if exact:
-            return bm25.score_from_blocks(self.blocks, idf, ids, k=k)
-        return wand.wand_topk(self.blocks, idf, ids, k=k)
+            return bm25.score_from_blocks(blocks, idf, ids, k=k)
+        return wand.wand_topk(blocks, idf, ids, k=k)
 
     def search_prefix(self, prefix: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         """Prefix query (scoring_boolean rewrite): expand over the
@@ -92,7 +107,8 @@ class IndexReader:
             int(r["term_id"]): math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
             for r in rows
         }
-        return bm25.score_from_blocks(self.blocks, idf, sorted(idf), k=k)
+        ids = sorted(idf)
+        return bm25.score_from_blocks(self._blocks_for(ids), idf, ids, k=k)
 
     def search_phrase(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         """Exact-phrase search over a POSITIONAL index (built with
@@ -129,7 +145,7 @@ class IndexReader:
         ).collect()[0]
         term_ids = [int(row[f"t{i}"]) for i in range(len(terms))]
         return phrase_match_blocks(
-            self.blocks, term_ids, offsets=offsets
+            self._blocks_for(term_ids), term_ids, offsets=offsets
         ).orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
 
     def highlight_terms(self, query: str) -> list[str]:

@@ -33,8 +33,16 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "CURRENT"
+_UNSET = object()
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer published since this writer read the table state —
+    the Iceberg optimistic-commit failure (the caller re-reads and
+    retries or aborts)."""
 
 
 class SnapshotCatalog:
@@ -129,7 +137,8 @@ class SnapshotCatalog:
                 pass
 
     def publish(self, table: str, generation: str, fingerprint: str,
-                metrics: dict | None = None, retain: int = 2) -> None:
+                metrics: dict | None = None, retain: int = 2,
+                expected_fingerprint=_UNSET) -> None:
         """Atomic alias swap (reference A19) + DEFERRED old-generation GC.
 
         The previous generation is NOT deleted at swap time — a reader
@@ -138,6 +147,14 @@ class SnapshotCatalog:
         expires generations beyond the newest ``retain`` (current included)
         — Iceberg's expireSnapshots policy, by count.  The commit section
         is single-writer (lockfile) so concurrent publishers serialize.
+
+        ``expected_fingerprint`` adds Iceberg's OPTIMISTIC-concurrency
+        check on top of the lock's mutual exclusion: pass the fingerprint
+        of the generation this build was based on (None for "table must
+        not exist yet"), and the commit raises :class:`CommitConflictError`
+        if another writer advanced the table in between — the caller then
+        re-reads the new state and rebases or aborts, exactly an Iceberg
+        commit retry.
         """
         tdir = self._table_dir(table)
         meta = {
@@ -147,6 +164,14 @@ class SnapshotCatalog:
             "metrics": metrics or {},
         }
         with self._PublishLock(os.path.join(tdir, ".publish.lock")):
+            if expected_fingerprint is not _UNSET:
+                cur = self.current_generation(table)
+                cur_fp = cur.get("fingerprint") if cur else None
+                if cur_fp != expected_fingerprint:
+                    raise CommitConflictError(
+                        f"table {table} advanced: expected base "
+                        f"{expected_fingerprint!r}, found {cur_fp!r}"
+                    )
             fd, tmp = tempfile.mkstemp(dir=tdir)
             with os.fdopen(fd, "w") as f:
                 json.dump(meta, f)
@@ -187,6 +212,106 @@ class SnapshotCatalog:
         if gen_path is None:
             raise FileNotFoundError(f"no published generation for {table}")
         return spark.read.parquet(os.path.join(gen_path, name))
+
+    # -- manifest-level file pruning (Iceberg manifest analogue) -----------
+    @staticmethod
+    def write_manifest(dataset_path: str, key: str) -> dict:
+        """Write ``_MANIFEST.json`` next to a parquet dataset: one entry
+        per data file with the footer-derived min/max of ``key`` (metadata
+        only — no data pages are read).  This is the Iceberg manifest: a
+        query can drop whole FILES before Spark ever opens their footers
+        for row-group pruning.  Pays off on term-clustered block files
+        (spimi.write_blocks sorts by term_id within term-hashed files)."""
+        import pyarrow.parquet as pq
+
+        entries = []
+        for fn in sorted(os.listdir(dataset_path)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dataset_path, fn)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if key not in names:
+                raise KeyError(f"{key} not in {dataset_path} schema")
+            ci = names[key]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = None, None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            entries.append({
+                "file": fn,
+                "rows": md.num_rows,
+                "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+            })
+        manifest = {"key": key, "files": entries}
+        fd, tmp = tempfile.mkstemp(dir=dataset_path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(dataset_path, "_MANIFEST.json"))
+        return manifest
+
+    def read_pruned(self, spark: SparkSession, table: str, name: str,
+                    key: str, values: list) -> DataFrame:
+        """Read only the data files whose manifest [min, max] range can
+        contain one of ``values`` (the caller still applies its own
+        ``key IN (...)`` filter — this layer only shrinks the file list).
+        Falls back to the full read when no manifest exists or a file has
+        no stats."""
+        gen_path = self.generation_path(table)
+        if gen_path is None:
+            raise FileNotFoundError(f"no published generation for {table}")
+        root = os.path.join(gen_path, name)
+        mpath = os.path.join(root, "_MANIFEST.json")
+        if not os.path.exists(mpath) or not values:
+            return spark.read.parquet(root)
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest.get("key") != key:
+            return spark.read.parquet(root)
+        keep = []
+        for e in manifest["files"]:
+            if e["min"] is None:
+                return spark.read.parquet(root)  # stats gap → no pruning
+            if any(e["min"] <= v <= e["max"] for v in values):
+                keep.append(os.path.join(root, e["file"]))
+        if not keep:
+            # provably empty: keep one file so the schema resolves; the
+            # caller's IN-filter yields zero rows from it
+            keep = [os.path.join(root, manifest["files"][0]["file"])] \
+                if manifest["files"] else [root]
+        return spark.read.parquet(*keep)
+
+    # -- incremental snapshot scan (Iceberg incremental-read analogue) ----
+    def incremental(self, spark: SparkSession, table: str, name: str,
+                    from_generation: str, to_generation: str | None = None) -> DataFrame:
+        """Rows of ``name`` that are NEW OR CHANGED between two retained
+        generations: every row of the ``to`` snapshot whose full-row hash
+        does not appear in the ``from`` snapshot.  This is the practical
+        Iceberg incremental scan for an upsert table (changelog of
+        appends + updates); deletes are the ``from``-side anti-join, which
+        callers can take by swapping the arguments."""
+        tdir = self._table_dir(table)
+        if to_generation is None:
+            cur = self.current_generation(table)
+            if not cur:
+                raise FileNotFoundError(f"no published generation for {table}")
+            to_generation = cur["generation"]
+        new = spark.read.parquet(os.path.join(tdir, to_generation, name))
+        old = spark.read.parquet(os.path.join(tdir, from_generation, name))
+        cols = sorted(set(new.columns) & set(old.columns))
+        fp = F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+        )
+        old_fp = old.select(fp.alias("_fp")).distinct()
+        return (
+            new.withColumn("_fp", fp)
+            .join(old_fp, "_fp", "left_anti")
+            .drop("_fp")
+        )
 
     # -- per-partition lineage checkpoints (north-rule C4) ----------------
     def _ckpt_dir(self, build_id: str) -> str:
