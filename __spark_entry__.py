@@ -53,6 +53,10 @@ STOKS = (
     f"x -> x <> '' AND x NOT IN {STOPLIST_SQL})"
 )
 
+# BPE-ish pre-tokenizer classes — must stay the portable regex subset so
+# the Spark and DuckDB sides share it verbatim
+_BPEISH_SQL = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
 BM25_TERMS = ["spark", "join", "window"]
 _TERMS_SQL = "(" + ",".join(f"'{t}'" for t in BM25_TERMS) + ")"
 
@@ -506,6 +510,34 @@ def q_token_count_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token budgeting (training-data op): BPE-ish
+    pre-tokenizer piece counts next to whitespace-token counts, with the
+    pieces-per-word expansion ratio — the quick LLM-token estimator."""
+    from docs_indexer_spark.functions.text_quality import (
+        bpeish_token_count_col,
+        token_count_col,
+    )
+
+    # the synthetic corpus is clean [a-z ]+ text where pieces == words;
+    # append a punctuation/digit-bearing tail so the two counting schemes
+    # actually diverge and the piece classes are exercised
+    tail = " v2.0 (beta), e.g. c++ isn't plain-text!"
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select(
+        "doc_id", F.concat(F.coalesce("text", F.lit("")), F.lit(tail)).alias("t")
+    )
+    n_ws = token_count_col("t")
+    n_bpe = bpeish_token_count_col("t")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens"),
+        n_bpe.alias("n_bpeish"),
+        F.when(n_ws > 0, F.round(n_bpe.cast("double") / n_ws, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("expansion"),
+    ).orderBy("doc_id")
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (training-data op): length factor ×
     (1 - punctuation ratio), rounded."""
@@ -827,6 +859,53 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): k=3 word
+    shingles, window=4 sliding min — the guarantee-bearing local
+    fingerprinting scheme (any shared ≥6-token run shares a fingerprint).
+    md5 hash family = the SQL-parity plane; production uses hash="xx"."""
+    from docs_indexer_spark.operators.dedup import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return winnow_fingerprints(docs, k=3, window=4, hash="md5").orderBy(
+        "doc_id", "fp"
+    )
+
+
+_WINNOW_ORACLE_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS} AS arr FROM documents WHERE doc_id < 40
+    ),
+    sh AS (
+      SELECT doc_id, i, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+      FROM d, unnest(range(1, len(arr) - 1)) t(i)
+      WHERE len(arr) >= 3
+      UNION ALL
+      SELECT doc_id, 1 AS i, array_to_string(arr, ' ') AS s
+      FROM d WHERE len(arr) BETWEEN 1 AND 2
+    ),
+    h AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+      FROM sh
+    ),
+    stats AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
+    w AS (
+      SELECT h.doc_id, i, n,
+             min(hv) OVER (PARTITION BY h.doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h JOIN stats USING (doc_id)
+    ),
+    sel AS (
+      SELECT doc_id, fp FROM w WHERE n >= 4 AND i <= n - 3
+      UNION ALL
+      SELECT h.doc_id, min(hv) AS fp FROM h JOIN stats USING (doc_id)
+      WHERE n < 4 GROUP BY h.doc_id
+    )
+    SELECT DISTINCT doc_id, fp FROM sel ORDER BY doc_id, fp
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 3 via the pigeonhole-banded
     equi-join (4 chunks × 16 bits — Manku et al.'s web-dedup config; never
@@ -1110,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_assembly": q_doc_assembly,
         "exact_dedup": q_exact_dedup,
         "token_count_topn": q_token_count_topn,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id_confusion": q_lang_id_confusion,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1120,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
         "shortcode_strip": q_shortcode_strip,
@@ -1342,6 +1423,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({TOKS}) AS n_tokens
             FROM documents ORDER BY n_tokens DESC, doc_id LIMIT 20
         """,
+        "bpe_token_stats": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                       || ' v2.0 (beta), e.g. c++ isn''t plain-text!' AS text
+              FROM documents WHERE doc_id < 60
+            ),
+            c AS (
+              SELECT doc_id,
+                     len({TOKS}) AS n_tokens,
+                     len(regexp_extract_all(lower(text),
+                         '{_BPEISH_SQL}')) AS n_bpeish
+              FROM t
+            )
+            SELECT doc_id, n_tokens, n_bpeish,
+                   CASE WHEN n_tokens > 0
+                        THEN round(CAST(n_bpeish AS DOUBLE) / n_tokens, 6)
+                   END AS expansion
+            FROM c ORDER BY doc_id
+        """,
         "quality_scores": f"""
             SELECT doc_id,
                    round(
@@ -1475,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash_near_dups": _simhash_oracle(max_hamming=3),
+        "winnow_fingerprints": _WINNOW_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),
         "suggest_correction": _suggest_oracle(*MISSPELLED.split()),

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "minhash_lsh_pairs",
     "simhash_near_dups",
+    "winnow_fingerprints",
     "phrase_match",
     "phrase_match_blocks",
     "suggest_correction",
@@ -206,6 +207,11 @@ def main() -> None:
     t0 = time.time()
     n_sim = simhash_near_dup_pairs(simhash64(docs_full, hash="xx"), max_hamming=3).count()
     per_query["simhash_xx_full_sec"] = round(time.time() - t0, 3)
+    from docs_indexer_spark.operators.dedup import winnow_fingerprints
+
+    t0 = time.time()
+    n_fp = winnow_fingerprints(docs_full, hash="xx").count()
+    per_query["winnow_xx_full_sec"] = round(time.time() - t0, 3)
     print(f"# production dedup: {n_cand} lsh candidates, {n_sim} simhash pairs",
           file=sys.stderr)
 

@@ -39,11 +39,12 @@ tests/test_extraction.py):
   (definitions consumed).
 - KNOWN DIVERGENCES (documented, not silently wrong): multi-paragraph
   ("loose") list items join their continuation lines with a space instead
-  of nested <p> blocks; lazy paragraph continuation inside blockquotes is
-  not recognized (each quoted line needs its ">"); HTML blocks embedded
-  in markdown pass through as text (html2text then keeps their text,
-  which matches the reference's final output for text-bearing HTML).
-  List nesting recurses to arbitrary depth (4 spaces per level).
+  of nested <p> blocks; a ">"-only separator line inside one blockquote
+  run joins both paragraphs into one <p> (same extracted text); HTML
+  blocks embedded in markdown pass through as text (html2text then keeps
+  their text, which matches the reference's final output for text-bearing
+  HTML).  Lazy paragraph continuation inside blockquotes IS recognized
+  (round 3).  List nesting recurses to arbitrary depth (4 spaces/level).
 """
 
 from __future__ import annotations
@@ -287,9 +288,25 @@ def markdown_to_html(markdown_text: str) -> str:
 
         if line.lstrip().startswith(">"):
             quoted: list[str] = []
-            while i < n and lines[i].lstrip().startswith(">"):
-                quoted.append(lines[i].lstrip()[1:].lstrip())
-                i += 1
+            while i < n and lines[i].strip():
+                ls = lines[i].lstrip()
+                if ls.startswith(">"):
+                    quoted.append(ls[1:].lstrip())
+                    i += 1
+                elif quoted and not (
+                    _HEADING_RE.match(lines[i])
+                    or _FENCE_OPEN_RE.match(lines[i])
+                    or _HR_RE.match(lines[i])
+                    or _UL_ITEM_RE.match(lines[i])
+                    or _OL_ITEM_RE.match(lines[i])
+                ):
+                    # lazy paragraph continuation (python-markdown): a
+                    # non-blank, non-structural line without ">" continues
+                    # the quoted paragraph
+                    quoted.append(ls)
+                    i += 1
+                else:
+                    break
             inner = "\n".join(quoted)
             blocks.append(
                 "<blockquote>\n<p>" + _inline(inner, refs) + "</p>\n</blockquote>"

@@ -31,6 +31,25 @@ def token_count_col(text_col):
     return F.size(tokens_col(text_col))
 
 
+# BPE-ish pre-tokenization classes (the GPT-2 pre-tokenizer's shape,
+# minus unicode categories): letter runs, digit runs, single
+# non-alphanumeric marks.  Shared verbatim by the DuckDB oracle twin, so
+# keep it to the portable regex subset.
+BPEISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpeish_token_count_col(text_col):
+    """Subword-style (BPE-ish) token count: counts pre-tokenizer pieces —
+    letter runs, digit runs, and punctuation marks — the standard quick
+    estimator for LLM-token budgets when no vocab file ships with the
+    job.  Native regexp, whole-stage codegen."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(
+        F.regexp_extract_all(F.lower(F.coalesce(col, F.lit(""))),
+                             F.lit(BPEISH_PATTERN), F.lit(0))
+    )
+
+
 def char_count_col(text_col):
     return F.length(F.coalesce(F.col(text_col), F.lit("")))
 

@@ -343,3 +343,72 @@ def ngram_jaccard(
         "doc_b",
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xx",
+) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003).
+
+    k-word shingles → per-shingle hash → every sliding window of
+    ``window`` consecutive hashes selects its MINIMUM → distinct selected
+    hashes are the document's fingerprint set.  The winnowing guarantee:
+    any shared token run of length ≥ k + window - 1 between two documents
+    shares at least one fingerprint, while expected density is only
+    2/(window+1) of all shingles — the standard local fingerprinting
+    scheme for plagiarism/boilerplate detection in web corpora.
+
+    Documents shorter than ``window`` shingles contribute their single
+    global-min fingerprint; empty documents contribute nothing.  All
+    native (HOF + array_min — no UDF); the token and hash arrays are
+    materialized as attributes behind projection barriers (HOF lambdas
+    re-evaluate referenced EXPRESSIONS per element).
+
+    ``hash="xx"`` is the production family (xxhash64 per shingle);
+    ``hash="md5"`` is the SQL-parity family (first-8-hex-of-md5, the
+    module's shared `_h32`) for the DuckDB oracle twin.
+    """
+    shingled = with_word_shingles(docs, text_col, k, out_col="_sh",
+                                  keep=[id_col])
+    if hash == "md5":
+        hfn = _h32
+    else:
+        def hfn(s):
+            return F.xxhash64(s)
+    hashed = shingled.filter(F.size("_sh") > 0).filter(
+        ~((F.size("_sh") == 1) & (F.element_at("_sh", 1) == ""))
+    ).withColumn("_hs", F.transform("_sh", hfn))
+    hs = F.col("_hs")
+    n_win = F.size(hs) - window + 1
+    fps = F.when(
+        F.size(hs) >= window,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        ),
+    ).otherwise(F.array(F.array_min(hs)))
+    return (
+        hashed.select(id_col, F.explode(F.array_distinct(fps)).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_candidate_pairs(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, shared_fps) — document pairs sharing ≥1 winnowing
+    fingerprint, via a fingerprint equi-join (shuffle on fp, never
+    all-pairs; same scale shape as the LSH bucket joins)."""
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )

@@ -370,3 +370,70 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"x", fake=False)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing (Schleimer et al. 2003): two documents sharing a token
+    run of length >= k + window - 1 MUST share at least one fingerprint;
+    selected fingerprints are a strict subset of all shingle hashes."""
+    from docs_indexer_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+        with_word_shingles,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k+window-1
+    rows = [
+        (0, "intro words then " + shared + " and a very different tail"),
+        (1, shared + " opens this one with other following content here"),
+        (2, "completely unrelated text about graphs trees and cycles"),
+        (3, "tiny doc"),          # < k tokens → single whole-doc shingle
+        (4, ""),                  # empty → no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=3, window=4).persist()
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: docs 0 and 1 share the 6-token run → >=1 common fp
+    assert by_doc[0] & by_doc[1]
+    # density: fingerprints are a subset of the shingle hashes
+    import pyspark.sql.functions as F
+    sh = with_word_shingles(docs.filter(F.col("doc_id") == 0), "text", 3,
+                            out_col="s", keep=["doc_id"])
+    all_hashes = {
+        r["h"]
+        for r in sh.select(F.explode("s").alias("x"))
+        .select(F.xxhash64("x").alias("h")).collect()
+    }
+    assert by_doc[0] < all_hashes, "winnowing must select a strict subset"
+    # short doc fingerprints, empty doc does not
+    assert 3 in by_doc and 4 not in by_doc
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_candidate_pairs(fps).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
+    fps.unpersist()
+
+
+def test_winnowing_md5_plane_matches_xx_structure(spark):
+    """The md5 (SQL-parity) and xx (production) planes select the same
+    NUMBER of fingerprints per doc on identical windows whenever no
+    window tie differs — weaker than hash identity (different families),
+    but pins that both planes run the same selection logic."""
+    from docs_indexer_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 20
+    )
+    a = winnow_fingerprints(docs, hash="xx").groupBy("doc_id").count()
+    b = winnow_fingerprints(docs, hash="md5").groupBy("doc_id").count()
+    ca = {r["doc_id"]: r["count"] for r in a.collect()}
+    cb = {r["doc_id"]: r["count"] for r in b.collect()}
+    assert set(ca) == set(cb)
+    import numpy as np
+    ratios = [cb[d] / ca[d] for d in ca]
+    assert 0.5 < float(np.median(ratios)) < 2.0

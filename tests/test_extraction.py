@@ -267,3 +267,20 @@ def test_collect_properties_text():
         "top", "spec", "spec desc", "replicas", "number of replicas",
         "name", "status", "status desc",
     ]
+
+
+def test_blockquote_lazy_continuation():
+    """python-markdown lazy continuation: a non-blank line after a '>'
+    line continues the quoted paragraph without its own '>'."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_html
+
+    md = "> quoted start\nlazy continuation line\n\nnext paragraph"
+    html = markdown_to_html(md)
+    assert "<blockquote>" in html
+    assert "lazy continuation line" in html.split("</blockquote>")[0]
+    assert "next paragraph" in html.split("</blockquote>")[1]
+    # a structural marker ends the quote instead of continuing it
+    md2 = "> quoted\n# heading after"
+    html2 = markdown_to_html(md2)
+    assert "<h1>heading after</h1>" in html2
+    assert "heading after" not in html2.split("</blockquote>")[0]
