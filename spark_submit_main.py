@@ -62,6 +62,15 @@ def main() -> None:
     bb.add_argument("--input", required=True)
     bb.add_argument("--analyzer", default="english")
 
+    dd = sub.add_parser("dedup")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--method",
+                    choices=["exact", "minhash", "simhash", "winnow"],
+                    default="minhash")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--sample", type=int, default=10,
+                    help="candidate pairs to print")
+
     args = ap.parse_args()
     spark = SparkSession.builder.getOrCreate()
 
@@ -137,6 +146,55 @@ def main() -> None:
             "docs_per_sec": round(fb.n_docs / dt, 1),
             "path": "fused",
             "parallelism": spark.sparkContext.defaultParallelism,
+        }))
+    elif args.cmd == "dedup":
+        # production (xx-family) near-duplicate discovery — every method
+        # is a bucketed/banded equi-join, never all-pairs
+        from pyspark.sql import functions as F
+
+        from docs_indexer_spark.operators import dedup
+        from docs_indexer_spark.plans.build_index import prepare_documents
+
+        docs = spark.read.parquet(args.input)
+        if args.id_col not in docs.columns:
+            docs = prepare_documents(docs)
+        t0 = time.time()
+        if args.method == "exact":
+            clusters = dedup.exact_duplicates(docs, id_col=args.id_col).filter(
+                F.col("n_docs") > 1
+            )
+            sample = [
+                {"keep_doc_id": int(r["keep_doc_id"]),
+                 "n_docs": int(r["n_docs"])}
+                for r in clusters.limit(args.sample).collect()
+            ]
+            print(json.dumps({
+                "method": "exact", "duplicate_clusters": clusters.count(),
+                "sample": sample, "sec": round(time.time() - t0, 3),
+            }))
+            spark.stop()
+            return
+        if args.method == "minhash":
+            sigs = dedup.minhash_signatures(
+                docs, num_hashes=16, hash="xx", id_col=args.id_col
+            )
+            pairs = dedup.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+        elif args.method == "simhash":
+            pairs = dedup.simhash_near_dup_pairs(
+                dedup.simhash64(docs, hash="xx", id_col=args.id_col),
+                max_hamming=3,
+            )
+        else:
+            fps = dedup.winnow_fingerprints(docs, id_col=args.id_col)
+            pairs = dedup.winnow_candidate_pairs(fps, id_col=args.id_col)
+        sample = [
+            {"doc_a": int(r[0]), "doc_b": int(r[1])}
+            for r in pairs.limit(args.sample).collect()
+        ]
+        n = pairs.count()
+        print(json.dumps({
+            "method": args.method, "candidate_pairs": n,
+            "sample": sample, "sec": round(time.time() - t0, 3),
         }))
     spark.stop()
 
