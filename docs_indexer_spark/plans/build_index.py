@@ -177,6 +177,17 @@ def build_index(
         else:
             part = with_rendering_fields(
                 prepare_documents(raw_slice, use_extraction=use_extraction)
+            ).withColumn(
+                # content identity for the stored doc row: the snapshot-diff
+                # consumer (catalog.incremental) must see body-only edits
+                # even though the store drops the text/html payloads
+                "content_hash",
+                F.xxhash64(F.coalesce(
+                    F.col("text"),
+                    *([F.col("html").cast("string")]
+                      if "html" in raw_slice.columns else []),
+                    F.lit(""),
+                )),
             )
             doc_cols = [c for c in part.columns if c not in ("text", "html")]
         # action 1: doc store slice (dedup only — no extraction in lineage)
