@@ -204,19 +204,106 @@ def lsh_candidate_pairs(
     )
 
 
+def _simhash_bitcount_kernel(batches):
+    """(doc_id, h) rows sorted by doc_id within the partition → one
+    (doc_id, simhash) row per doc.  Vectorized per-bit majority count:
+    the (n_rows × 64) bit matrix is summed per doc-run with
+    np.add.reduceat; a carry merges runs that span Arrow batches.
+    Integer sums are order-independent, so the output is bit-identical
+    to the 64-aggregate native formulation for either hash family."""
+    import numpy as np
+    import pyarrow as pa
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def pack(sums, counts):
+        bits = (sums * 2 > counts[:, None]).astype(np.uint64)
+        return (bits << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+    carry_id = None
+    carry_sums = None
+    carry_n = 0
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = (
+            batch.column(1).to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        )
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        n = len(ids)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        sums = np.add.reduceat(bits, starts, axis=0)
+        run_ids = ids[starts]
+        if carry_id is not None:
+            if run_ids[0] == carry_id:
+                sums[0] += carry_sums
+                counts[0] += carry_n
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([carry_id], type=pa.int64()),
+                        pa.array(
+                            pack(carry_sums[None, :], np.array([carry_n])),
+                            type=pa.int64(),
+                        ),
+                    ],
+                    names=["_id", "simhash"],
+                )
+        carry_id = int(run_ids[-1])
+        carry_sums = sums[-1].copy()
+        carry_n = int(counts[-1])
+        if len(run_ids) > 1:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(run_ids[:-1], type=pa.int64()),
+                    pa.array(pack(sums[:-1], counts[:-1]), type=pa.int64()),
+                ],
+                names=["_id", "simhash"],
+            )
+    if carry_id is not None:
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([carry_id], type=pa.int64()),
+                pa.array(
+                    pack(carry_sums[None, :], np.array([carry_n])),
+                    type=pa.int64(),
+                ),
+            ],
+            names=["_id", "simhash"],
+        )
+
+
 def simhash64(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash: str = "xx",
+    vectorized: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash long): 64-bit simhash over per-token hash bits.
 
     Bit b of the simhash is 1 iff the majority of tokens have bit b set in
-    their 64-bit hash.  Native aggregate: explode tokens → per-bit sums via
-    shift/mask → reassemble.  Near-dups are rows with small hamming
-    distance (bit_count(a ^ b)) — find them with
-    :func:`simhash_near_dup_pairs`, never an all-pairs join.
+    their 64-bit hash.  Near-dups are rows with small hamming distance
+    (bit_count(a ^ b)) — find them with :func:`simhash_near_dup_pairs`,
+    never an all-pairs join.
+
+    Two executions of the same arithmetic (identical output — integer bit
+    sums are order-independent; pinned by a test):
+
+    - ``vectorized=True`` (default): token hashes ride IN PLACE (spread
+      already partitions docs by id and explode preserves it, so only a
+      partition-local sort orders doc runs — ZERO added exchanges) into an
+      Arrow kernel that majority-counts the (rows × 64) bit matrix with
+      np.add.reduceat.  Replaces a 65-expression hash aggregate.
+    - ``vectorized=False``: the all-native formulation (64 shift/mask sum
+      aggregates + majority reassembly) — keeps a pure-Column path for
+      environments where the Arrow boundary is unwanted.
 
     ``hash="xx"`` (production) uses xxhash64; ``hash="md5"`` derives the 64
     bits from md5's first 16 hex chars (two 32-bit halves, shift+or) —
@@ -236,6 +323,15 @@ def simhash64(
         hashed = toks.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
     else:
         hashed = toks.withColumn("h", F.xxhash64("tok"))
+    if vectorized:
+        out = (
+            hashed.select(F.col(id_col).cast("long"), "h")
+            .sortWithinPartitions(id_col)
+            .mapInArrow(
+                _simhash_bitcount_kernel, schema="_id long, simhash long"
+            )
+        )
+        return out.select(F.col("_id").alias(id_col), "simhash")
     bit_sums = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[

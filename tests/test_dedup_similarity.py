@@ -437,3 +437,18 @@ def test_winnowing_md5_plane_matches_xx_structure(spark):
     import numpy as np
     ratios = [cb[d] / ca[d] for d in ca]
     assert 0.5 < float(np.median(ratios)) < 2.0
+
+
+def test_simhash_vectorized_identical_to_native(spark):
+    """The Arrow bit-count kernel and the 64-aggregate native formulation
+    are the same arithmetic (integer sums, order-independent) — outputs
+    must be bit-identical for BOTH hash families."""
+    from docs_indexer_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fam in ["xx", "md5"]:
+        a = {r["doc_id"]: r["simhash"]
+             for r in simhash64(docs, hash=fam, vectorized=True).collect()}
+        b = {r["doc_id"]: r["simhash"]
+             for r in simhash64(docs, hash=fam, vectorized=False).collect()}
+        assert a == b and a, fam
