@@ -72,6 +72,56 @@ def rp_signature_col(vec_col, planes: np.ndarray):
     return out
 
 
+def _rp_sig_kernel(planes_by_table):
+    """Arrow kernel: (vec_id, v) → (vec_id, v, tbl, sig) rows, one per
+    table.  Dot products accumulate DIMENSION-BY-DIMENSION (a python loop
+    over dims, numpy-vectorized over rows), which is float-for-float the
+    same left-to-right order as the native zip_with/aggregate fold — so
+    the sign bits (and thus buckets) are bit-identical to
+    :func:`rp_signature_col`, while the per-row interpreted-HOF cost
+    (tables × bits × dims expression evaluations) collapses to
+    tables × bits × dims vectorized adds per BATCH."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            emb = batch.column(1)
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            n = batch.num_rows
+            dim = len(flat) // n if n else 0
+            x = flat.reshape(n, dim)
+            out_ids, out_v, out_tbl, out_sig = [], [], [], []
+            for t, planes in enumerate(planes_by_table):
+                sig = np.zeros(n, dtype=np.uint64)
+                for i, plane in enumerate(planes):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(dim):
+                        acc = acc + x[:, d] * plane[d]
+                    sig |= (acc >= 0).astype(np.uint64) << np.uint64(i)
+                out_ids.append(ids)
+                out_v.append(emb)
+                out_tbl.append(np.full(n, t, dtype=np.int32))
+                out_sig.append(sig.astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids), type=pa.int64()),
+                    pa.concat_arrays(
+                        [v.cast(pa.list_(pa.float64())) for v in out_v]
+                    ),
+                    pa.array(np.concatenate(out_tbl), type=pa.int32()),
+                    pa.array(np.concatenate(out_sig), type=pa.int64()),
+                ],
+                names=["_id", "v", "tbl", "sig"],
+            )
+
+    return kernel
+
+
 def lsh_bucket_neighbors(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -218,6 +268,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
 
@@ -226,23 +277,44 @@ def embedding_near_duplicates(
     hyperplane happens to cut through it; the miss probability decays
     exponentially in the table count).  Candidates = same (table, sig)
     bucket — a shuffle join on the bucket key, never a cross join — then
-    exact cosine verification with native math, distinct-ed."""
+    exact cosine verification with native math, distinct-ed.
+
+    ``vectorized=True`` (default) computes the signatures in an Arrow
+    kernel whose dimension-order accumulation is bit-identical to the
+    native HOF fold (pinned by a test); ``vectorized=False`` keeps the
+    pure-Column path."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
-    sig_structs = []
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed + 7919 * t)
-        sig_structs.append(
-            F.struct(
-                F.lit(t).alias("tbl"),
-                rp_signature_col(F.col(vec_col), planes).alias("sig"),
+    planes_by_table = [
+        _hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)
+    ]
+    if vectorized:
+        with_sig = (
+            embeddings.select(
+                F.col(id_col).cast("long"), F.col(vec_col)
             )
+            .mapInArrow(
+                _rp_sig_kernel(planes_by_table),
+                schema="_id long, v array<double>, tbl int, sig long",
+            )
+            .select(F.col("_id").alias(id_col), "v", "tbl", "sig")
         )
-    with_sig = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
-        F.explode(F.array(*sig_structs)).alias("bk"),
-    ).select(id_col, "v", F.col("bk.tbl").alias("tbl"), F.col("bk.sig").alias("sig"))
+    else:
+        sig_structs = []
+        for t in range(tables):
+            sig_structs.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    rp_signature_col(
+                        F.col(vec_col), planes_by_table[t]
+                    ).alias("sig"),
+                )
+            )
+        with_sig = embeddings.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
+            F.explode(F.array(*sig_structs)).alias("bk"),
+        ).select(id_col, "v", F.col("bk.tbl").alias("tbl"), F.col("bk.sig").alias("sig"))
     a = with_sig.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "sig"
     )

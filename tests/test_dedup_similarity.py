@@ -452,3 +452,18 @@ def test_simhash_vectorized_identical_to_native(spark):
         b = {r["doc_id"]: r["simhash"]
              for r in simhash64(docs, hash=fam, vectorized=False).collect()}
         assert a == b and a, fam
+
+
+def test_rp_kernel_signatures_identical_to_native(spark):
+    """The Arrow RP-signature kernel accumulates dimension-by-dimension —
+    the same float64 order as the native zip_with fold — so near-dup
+    pairs AND cosines must be bit-identical at the gate parameters."""
+    from docs_indexer_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.3, bits=10, tables=3, seed=42)
+    a = sorted((r["id_a"], r["id_b"], r["cosine"])
+               for r in embedding_near_duplicates(emb, vectorized=True, **kw).collect())
+    b = sorted((r["id_a"], r["id_b"], r["cosine"])
+               for r in embedding_near_duplicates(emb, vectorized=False, **kw).collect())
+    assert a == b and a
