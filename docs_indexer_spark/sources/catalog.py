@@ -199,6 +199,48 @@ class SnapshotCatalog:
                           ignore_errors=True)
         return to_expire
 
+    def commit_with_retries(
+        self,
+        table: str,
+        attempt,
+        max_attempts: int = 4,
+        base_delay: float = 0.05,
+    ) -> dict:
+        """Retry/backoff around the optimistic commit (the engine-level
+        analogue of the reference's retrying writer, hugo.py:59-140, and
+        Iceberg's commit.retry.num-retries loop).
+
+        ``attempt(current_meta)`` receives the table's CURRENT generation
+        metadata (or None), prepares a generation against that base, and
+        returns ``(generation, fingerprint, metrics)``; this method then
+        publishes with ``expected_fingerprint`` pinned to the observed
+        base.  On :class:`CommitConflictError` — another writer advanced
+        the table — it backs off exponentially, re-reads, and calls
+        ``attempt`` again with the NEW state, so the caller always rebases
+        instead of clobbering.  Raises after ``max_attempts`` conflicts.
+        """
+        last: CommitConflictError | None = None
+        for i in range(max_attempts):
+            cur = self.current_generation(table)
+            base_fp = cur.get("fingerprint") if cur else None
+            generation, fingerprint, metrics = attempt(cur)
+            try:
+                self.publish(
+                    table, generation, fingerprint, metrics,
+                    expected_fingerprint=base_fp,
+                )
+                return {
+                    "generation": generation,
+                    "fingerprint": fingerprint,
+                    "attempts": i + 1,
+                }
+            except CommitConflictError as e:
+                last = e
+                time.sleep(base_delay * (2 ** i))
+        raise CommitConflictError(
+            f"commit failed after {max_attempts} attempts: {last}"
+        )
+
     def cleanup_build(self, build_id: str) -> None:
         """Remove a finished build's staged partials and lineage
         checkpoints (they otherwise leak a full postings copy per build)."""

@@ -124,3 +124,64 @@ def test_incremental_scan(spark, tmp_path):
         ).collect()
     }
     assert gone == {(2, "beta"), (3, "gamma")}
+
+
+def test_commit_with_retries_rebases_under_contention(tmp_path):
+    """Two writers race: the loser's attempt re-runs against the winner's
+    state (Iceberg commit-retry), and the observed base chain is linear."""
+    import threading
+
+    cat = SnapshotCatalog(str(tmp_path / "wh_race"))
+    g0, _ = cat.stage_generation("t", "base")
+    cat.publish("t", g0, "base")
+
+    bases_seen = {"w1": [], "w2": []}
+    barrier = threading.Barrier(2)
+
+    def writer(name, fp):
+        def attempt(cur):
+            bases_seen[name].append(cur["fingerprint"] if cur else None)
+            g, _ = cat.stage_generation("t", fp + str(len(bases_seen[name])))
+            if len(bases_seen[name]) == 1:
+                # both writers observe the same base before either commits
+                barrier.wait(timeout=10)
+            return g, fp, {}
+        return cat.commit_with_retries("t", attempt)
+
+    results = {}
+
+    def run(name, fp):
+        results[name] = writer(name, fp)
+
+    t1 = threading.Thread(target=run, args=("w1", "fpA"))
+    t2 = threading.Thread(target=run, args=("w2", "fpB"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert results["w1"]["attempts"] + results["w2"]["attempts"] >= 3, (
+        "at least one writer must have conflicted and rebased", results)
+    loser = "w1" if results["w1"]["attempts"] > 1 else "w2"
+    other_fp = "fpB" if loser == "w1" else "fpA"
+    # the loser's rebase observed the winner's committed state
+    assert other_fp in bases_seen[loser]
+    assert cat.current_generation("t")["fingerprint"] in ("fpA", "fpB")
+
+
+def test_commit_with_retries_exhausts(tmp_path):
+    """A base that is ALWAYS stale exhausts the retry budget and raises."""
+    cat = SnapshotCatalog(str(tmp_path / "wh_exhaust"))
+    g0, _ = cat.stage_generation("t", "v0")
+    cat.publish("t", g0, "v0")
+
+    n = {"i": 0}
+
+    def attempt(cur):
+        # sabotage: advance the table after reading the base, every time
+        n["i"] += 1
+        g, _ = cat.stage_generation("t", f"saboteur{n['i']}")
+        cat.publish("t", g, f"saboteur{n['i']}")
+        g2, _ = cat.stage_generation("t", f"mine{n['i']}")
+        return g2, f"mine{n['i']}", {}
+
+    with pytest.raises(CommitConflictError):
+        cat.commit_with_retries("t", attempt, max_attempts=3)
+    assert n["i"] == 3
