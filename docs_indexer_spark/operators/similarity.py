@@ -284,6 +284,10 @@ def embedding_near_duplicates(
     native HOF fold (pinned by a test); ``vectorized=False`` keeps the
     pure-Column path."""
     first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty relation → empty result, not a crash
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     dim = int(first["d"])
     planes_by_table = [
         _hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)

@@ -467,3 +467,16 @@ def test_rp_kernel_signatures_identical_to_native(spark):
     b = sorted((r["id_a"], r["id_b"], r["cosine"])
                for r in embedding_near_duplicates(emb, vectorized=False, **kw).collect())
     assert a == b and a
+
+
+def test_empty_inputs_yield_empty_results(spark):
+    """Dedup/similarity operators on empty relations return empty results
+    (no crash on the .first() dim probe or the Arrow kernels)."""
+    from docs_indexer_spark.operators.dedup import simhash64, winnow_fingerprints
+    from docs_indexer_spark.operators.similarity import embedding_near_duplicates
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_duplicates(empty_emb).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert winnow_fingerprints(empty_docs).count() == 0
+    assert simhash64(empty_docs).count() == 0
