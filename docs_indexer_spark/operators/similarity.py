@@ -16,7 +16,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -258,6 +258,73 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+class IvfIndex:
+    """Persisted IVF index — the at-scale serving shape the self-contained
+    :func:`ivf_topk` fuses inline: the centroid assignment is computed
+    ONCE, written partitioned by ``centroid_id`` (so each inverted list is
+    its own directory), and every query reads only its ``nprobe`` probed
+    lists via partition pruning — at 10^9+ vectors a query touches
+    nprobe/n_centroids of the data and no assignment recompute.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "centroids.json")) as f:
+            self.centroids = np.asarray(json.load(f), dtype=np.float64)
+        self.assigned = spark.read.parquet(os.path.join(path, "assigned"))
+
+    @staticmethod
+    def build(
+        embeddings: DataFrame,
+        centroids: np.ndarray,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(path, "assigned"))
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump([[float(x) for x in c] for c in centroids], f)
+        return IvfIndex(embeddings.sparkSession, path)
+
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Same semantics (and results) as :func:`ivf_topk` with these
+        centroids — but the centroid_id filter hits a PARTITION COLUMN, so
+        only the probed lists' files are read."""
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(self.centroids @ qn))
+        probes = [int(c) for c in order[:nprobe]]
+        cand = self.assigned.filter(F.col("centroid_id").isin(probes))
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        cos = _dot(F.col("v"), q) / (
+            _norm(F.col("v")) * F.lit(float(np.linalg.norm(qv)))
+        )
+        return (
+            cand.select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
 
 
 def embedding_near_duplicates(

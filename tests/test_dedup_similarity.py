@@ -480,3 +480,34 @@ def test_empty_inputs_yield_empty_results(spark):
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert winnow_fingerprints(empty_docs).count() == 0
     assert simhash64(empty_docs).count() == 0
+
+
+def test_ivf_index_persisted_partition_pruned(spark, tmp_path):
+    """The persisted IvfIndex (assignment partitioned by centroid_id)
+    returns IDENTICAL results to the fused ivf_topk and reads only the
+    probed lists' files (partition pruning)."""
+    from docs_indexer_spark.operators.similarity import (
+        IvfIndex,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(64, 8, seed=7)
+    q = [1.0] * 64
+    idx = IvfIndex.build(emb, cents, str(tmp_path / "ivf"))
+    got = [(r["vec_id"], round(r["cosine"], 9))
+           for r in idx.topk(q, k=10, nprobe=3).collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(emb, q, cents, k=10, nprobe=3).collect()]
+    assert got == want and got
+    # partition pruning: centroid_id is a PARTITION column, so the probe
+    # filter appears as a PartitionFilters entry in the scan (directory
+    # pruning — unprobed lists' files are never opened)
+    plan = (
+        idx.topk(q, k=10, nprobe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
