@@ -234,3 +234,73 @@ def sample_frames(
             F.sequence(F.lit(0), dur, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ---- RAWV: a real, dependency-free video container --------------------
+# Layout (all little-endian):  b"RAWV" | u16 width | u16 height |
+# u16 n_frames | u16 fps_milli (frames per 1000 ms) | frames…
+# where each frame is height*width*3 raw RGB bytes.  The same
+# decodable-format policy as BMP/PPM/WAV: real byte-layout codec with
+# roundtrip goldens; compressed video (MP4/H.264) stays an explicit
+# NotImplementedError in decode_image/extract_features.
+
+def encode_rawv(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 → RAWV payload (test/encoder helper)."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    head = b"RAWV" + struct.pack("<HHHH", w, h, n, fps)
+    return head + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawv(payload: bytes) -> tuple[np.ndarray, int]:
+    """RAWV payload → ((n, h, w, 3) uint8 frames, fps)."""
+    if payload[:4] != b"RAWV":
+        raise NotImplementedError(
+            "compressed video decode needs a codec library (MP4/H.264 "
+            "payloads are explicit stubs in this container)"
+        )
+    w, h, n, fps = struct.unpack("<HHHH", payload[4:12])
+    body = np.frombuffer(payload, dtype=np.uint8, offset=12)
+    return body.reshape(n, h, w, 3), fps
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms int, height int, width int, "
+    "mean_rgb array<float>"
+)
+
+
+def sample_frames_decoded(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """REAL frame sampling over RAWV video payloads via mapInPandas: each
+    video row expands to its sampled frames with per-frame mean-RGB
+    features (the downstream embed/filter hook).  Same distribution shape
+    as the other media kernels — repartition by doc_id, Arrow batches;
+    the sampling stride converts ``every_ms`` to a frame step via the
+    container's fps."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "frame_ts_ms", "height",
+                    "width", "mean_rgb")}
+            for doc_id, payload in zip(
+                pdf["doc_id"].values, pdf["payload"].values
+            ):
+                frames, fps = decode_rawv(bytes(payload))
+                step = max(1, round(every_ms * fps / 1000))
+                for i in range(0, len(frames), step):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(int(i * 1000 / fps))
+                    out["height"].append(frames.shape[1])
+                    out["width"].append(frames.shape[2])
+                    out["mean_rgb"].append(
+                        (frames[i].reshape(-1, 3).mean(axis=0) / 255.0)
+                        .astype(np.float32).tolist()
+                    )
+            yield pd.DataFrame(out)
+
+    balanced = media.filter(F.col("kind") == "video").repartition("doc_id")
+    return balanced.mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
