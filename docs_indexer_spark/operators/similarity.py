@@ -131,12 +131,17 @@ def lsh_bucket_neighbors(
     vec_col: str = "embedding",
     seed: int = 42,
     max_hamming: int = 1,
+    vectorized: bool = True,
 ) -> DataFrame:
     """ANN: compare only vectors whose signature is within ``max_hamming``
-    of the query's signature (multi-probe), score those exactly."""
+    of the query's signature (multi-probe), score those exactly.
+
+    ``vectorized=True`` computes relation-side signatures in the Arrow
+    kernel (fold-order-preserving — bit-identical buckets, see
+    :func:`_rp_sig_kernel`); ``vectorized=False`` keeps the pure-Column
+    path."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
-    sig = rp_signature_col(F.col(vec_col), planes)
     qbits = 0
     qv = np.asarray(query_vec, dtype=np.float64)
     for i, plane in enumerate(planes):
@@ -145,6 +150,20 @@ def lsh_bucket_neighbors(
     probes = [qbits]
     if max_hamming >= 1:
         probes += [qbits ^ (1 << i) for i in range(bits)]
+    if vectorized:
+        sigged = (
+            embeddings.select(F.col(id_col).cast("long"), F.col(vec_col))
+            .mapInArrow(
+                _rp_sig_kernel([planes]),
+                schema="_id long, v array<double>, tbl int, sig long",
+            )
+        )
+        cand = sigged.filter(F.col("sig").isin(probes)).select(
+            F.col("_id").alias(id_col), F.col("v").alias(vec_col)
+        )
+        return cosine_topk(cand, query_vec, k=k, id_col=id_col,
+                           vec_col=vec_col)
+    sig = rp_signature_col(F.col(vec_col), planes)
     with_sig = embeddings.withColumn("_sig", sig)
     cand = with_sig.filter(F.col("_sig").isin(probes))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

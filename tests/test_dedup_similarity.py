@@ -548,3 +548,17 @@ def test_rawv_roundtrip_and_frame_sampling(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         decode_rawv(b"\x00\x00\x00 ftypisom....")
+
+
+def test_lsh_bucket_neighbors_vectorized_identical(spark, embeddings):
+    from docs_indexer_spark.operators.similarity import lsh_bucket_neighbors
+
+    rows = embeddings.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    a = [(r["vec_id"], r["cosine"])
+         for r in lsh_bucket_neighbors(embeddings, q, k=5, bits=8,
+                                       vectorized=True).collect()]
+    b = [(r["vec_id"], r["cosine"])
+         for r in lsh_bucket_neighbors(embeddings, q, k=5, bits=8,
+                                       vectorized=False).collect()]
+    assert a == b and a
