@@ -1,13 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY entry (32 queries) pairs a Spark DataFrame plan from
+EVERY entry (38 queries) pairs a Spark DataFrame plan from
 docs_indexer_spark with an ANSI-SQL twin DuckDB runs on the same parquet
-tables — no rows-only rows.  The shared analysis chain for SQL-parity
-queries is the ``stop`` chain (lowercase → [a-z0-9]+ split →
-english-stopword removal) — expressible identically on both sides; the
-full ``english`` chain (possessive + Porter) is verified in pytest
-against the package's single-process oracle instead (Porter in ANSI SQL
-is not reasonable).
+tables — no rows-only rows.  The shared analysis chain for most
+SQL-parity queries is the ``stop`` chain (lowercase → [a-z0-9]+ split →
+english-stopword removal) — expressible identically on both sides.  The
+full ``english`` chain (possessive + Porter) has its own driver row
+(bm25_english_topk) whose twin stems through an inlined surface→stem
+VALUES dictionary — Porter itself in ANSI SQL is not reasonable, but a
+corpus-complete stem MAP is just constants (see ``_english_stemmap``).
 
 Oracle techniques used where an operator looks "not SQL-expressible":
 - md5-derived hash families (minhash signatures, simhash halves) are
