@@ -18,10 +18,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
+import signal
 import sys
 import time
 
 from pyspark.sql import SparkSession
+
+
+def _sigterm_handler(_signo, _stack_frame):
+    # graceful CronJob termination (reference main.py:29-31): exit 0 so
+    # the scheduler does not mark a drained pod as failed; Spark's own
+    # shutdown hook stops the context
+    logging.info("Terminating due to SIGTERM")
+    sys.exit(0)
 
 
 def main() -> None:
@@ -200,4 +210,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _sigterm_handler)
     sys.exit(main())
