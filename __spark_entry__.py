@@ -889,8 +889,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_ORACLE_SQL = f"""
-    WITH d AS (
+# shared winnowing CTE chain (doc_id < 40 slice) — consumed by both the
+# fingerprint row and the connected-components row
+_WINNOW_CTES = f"""
+    d AS (
       SELECT doc_id, {TOKS} AS arr FROM documents WHERE doc_id < 40
     ),
     sh AS (
@@ -919,8 +921,54 @@ _WINNOW_ORACLE_SQL = f"""
       SELECT h.doc_id, min(hv) AS fp FROM h JOIN stats USING (doc_id)
       WHERE n < 4 GROUP BY h.doc_id
     )
+"""
+
+_WINNOW_ORACLE_SQL = f"""
+    WITH {_WINNOW_CTES}
     SELECT DISTINCT doc_id, fp FROM sel ORDER BY doc_id, fp
 """
+
+# connected components of the winnow candidate-pair graph: transitive
+# closure via a recursive CTE (DuckDB), component = min reachable id —
+# the SQL twin of the Spark min-label-propagation loop
+_DEDUP_COMPONENTS_ORACLE_SQL = f"""
+    WITH RECURSIVE {_WINNOW_CTES},
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+    prs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM prs
+      UNION SELECT db AS a, da AS b FROM prs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, least(a, min(b)) AS comp
+    FROM reach GROUP BY a ORDER BY node
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step between pair discovery and actual
+    deduplication: connected components over the winnowing candidate-pair
+    graph via min-label propagation (component = min reachable doc_id,
+    the canonical keep-one representative).  The DuckDB twin computes the
+    transitive closure with a recursive CTE."""
+    from docs_indexer_spark.operators.dedup import (
+        connected_components,
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    fps = winnow_fingerprints(docs, k=3, window=4, hash="md5")
+    pairs = winnow_candidate_pairs(fps).select("doc_a", "doc_b")
+    return connected_components(pairs).orderBy("node")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
         "shortcode_strip": q_shortcode_strip,
@@ -1605,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash_near_dups": _simhash_oracle(max_hamming=3),
         "winnow_fingerprints": _WINNOW_ORACLE_SQL,
+        "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),
         "suggest_correction": _suggest_oracle(*MISSPELLED.split()),

@@ -521,3 +521,90 @@ def winnow_candidate_pairs(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, comp) — connected components of the candidate-pair graph,
+    comp = min node id reachable through pairs (the canonical cluster
+    representative).  THE missing step between near-dup pair discovery
+    and actual deduplication: pairs only say "these two collide"; keeping
+    one doc per CLUSTER needs the transitive closure.
+
+    Min-label propagation: each round every node takes the min component
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds (near-dup clusters are small and dense, so typically 2-3).
+    Each round is one shuffle join + aggregate on the EDGE list — never
+    materializes paths, never a cartesian; persist + early-exit when a
+    round changes nothing.  (The alternating large-star/small-star
+    optimization of Kiveris et al. halves rounds on chain-shaped graphs;
+    near-dup graphs are clique-like, where plain propagation is already
+    round-optimal.)
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    # localCheckpoint (eager) rather than persist: every round's plan
+    # otherwise embeds the previous round's FULL lineage — by round k the
+    # logical plan is exponential in k and the DRIVER dies planning it
+    # (observed: heap OOM at ~10 rounds on a 40-node graph).  Truncating
+    # lineage per round keeps each iteration's plan one join + one
+    # aggregate deep; on a real cluster use reliable checkpoint() to also
+    # survive executor loss mid-loop.
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
+                ),
+                "b",
+            )
+            .select(F.col("a").alias("node"), "nbr_comp")
+        )
+        new_labels = (
+            labels.select("node", F.col("comp").alias("nbr_comp"))
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """``docs`` minus non-representative near-duplicate cluster members
+    (keep the min-id doc per connected component) — the end-to-end dedup
+    FILTER a training-data pipeline applies after candidate discovery +
+    verification.  Docs in no pair are kept untouched (left-anti on the
+    drop set, never a full join of the corpus against itself)."""
+    comp = connected_components(pairs, id_a, id_b)
+    drop = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -562,3 +562,30 @@ def test_lsh_bucket_neighbors_vectorized_identical(spark, embeddings):
          for r in lsh_bucket_neighbors(embeddings, q, k=5, bits=8,
                                        vectorized=False).collect()]
     assert a == b and a
+
+
+def test_connected_components_chain_and_representatives(spark):
+    """Chain graph (worst case for label propagation — needs multiple
+    rounds) + isolated pair + untouched singleton; dedup_representatives
+    keeps exactly one doc per cluster plus all unpaired docs."""
+    from docs_indexer_spark.operators.dedup import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    # components: {1,2,3,4,5} (a chain), {10,11}; 20 is in no pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 5, 10, 11, 20]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]
+            for r in dedup_representatives(docs, pairs).collect()}
+    assert kept == {1, 10, 20}
