@@ -80,6 +80,15 @@ def main() -> None:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--sample", type=int, default=10,
                     help="candidate pairs to print")
+    dd.add_argument("--apply", default=None, metavar="OUTPUT",
+                    help="also write the DEDUPLICATED corpus (keep the "
+                         "min-id doc per connected near-dup cluster) to "
+                         "this parquet path")
+    dd.add_argument("--min-shared", type=int, default=1,
+                    help="winnow only: require this many shared "
+                         "fingerprints to form a candidate edge (raise on "
+                         "small-vocabulary corpora where any common "
+                         "3-gram collides)")
 
     args = ap.parse_args()
     spark = SparkSession.builder.getOrCreate()
@@ -197,15 +206,28 @@ def main() -> None:
         else:
             fps = dedup.winnow_fingerprints(docs, id_col=args.id_col)
             pairs = dedup.winnow_candidate_pairs(fps, id_col=args.id_col)
+            if args.min_shared > 1:
+                pairs = pairs.filter(
+                    F.col("shared_fps") >= args.min_shared
+                )
         sample = [
             {"doc_a": int(r[0]), "doc_b": int(r[1])}
             for r in pairs.limit(args.sample).collect()
         ]
         n = pairs.count()
-        print(json.dumps({
+        out = {
             "method": args.method, "candidate_pairs": n,
             "sample": sample, "sec": round(time.time() - t0, 3),
-        }))
+        }
+        if args.apply:
+            deduped = dedup.dedup_representatives(
+                docs, pairs.select("doc_a", "doc_b"), id_col=args.id_col
+            )
+            deduped.write.mode("overwrite").parquet(args.apply)
+            out["kept_docs"] = deduped.count()
+            out["input_docs"] = docs.count()
+            out["output"] = args.apply
+        print(json.dumps(out))
     spark.stop()
 
 
