@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_near_dups",
     "winnow_fingerprints",
+    "dedup_components",
     "phrase_match",
     "phrase_match_blocks",
     "suggest_correction",
