@@ -341,6 +341,27 @@ def q_prefix_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
+# fuzzy match: a misspelled query term (OpenSearch match ... fuzziness:1)
+FUZZY_Q, FUZZY_DIST = "spakr", 1
+
+
+def q_fuzzy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy match (OpenSearch ``fuzziness: 1``, scoring_boolean rewrite):
+    expand the misspelled term over the vocabulary within Levenshtein 1,
+    BM25-sum the expansion — same expansion machinery as the prefix row,
+    with the edit-distance predicate the SymSpell plane serves at scale.
+    The twin computes the identical expansion with DuckDB's levenshtein."""
+    postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
+    terms = [
+        r["term"]
+        for r in postings.select("term").distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(FUZZY_Q)) <= FUZZY_DIST)
+        .collect()
+    ]
+    top = bm25.score_from_tokens(postings, doclens, n, avgdl, terms, k=10)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_term_df_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df_stats head — the document-frequency table (SURVEY §1.2)."""
     postings, _, _, _ = _stop_index(spark, sf_dir)
@@ -1254,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_english_topk": q_bm25_english_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "prefix_search_topk": q_prefix_search_topk,
+        "fuzzy_search_topk": q_fuzzy_search_topk,
         "term_df_topn": q_term_df_topn,
         "doc_stats": q_doc_stats,
         "bigram_counts": q_bigram_counts,
@@ -1415,6 +1437,9 @@ def oracle_sql() -> dict[str, str]:
             having=f"HAVING count(DISTINCT p.term) = {len(BM25_TERMS)}",
         ),
         "prefix_search_topk": _bm25_oracle(f"p.term LIKE '{PREFIX}%'"),
+        "fuzzy_search_topk": _bm25_oracle(
+            f"levenshtein(p.term, '{FUZZY_Q}') <= {FUZZY_DIST}"
+        ),
         "term_df_topn": f"""
             WITH toks AS (SELECT doc_id, unnest({STOKS}) AS term FROM documents),
             postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1,2)

@@ -110,6 +110,35 @@ class IndexReader:
         ids = sorted(idf)
         return bm25.score_from_blocks(self._blocks_for(ids), idf, ids, k=k)
 
+    def search_fuzzy(
+        self, query: str, k: int = DEFAULT_TOP_K, fuzziness: int = 1
+    ) -> DataFrame:
+        """Fuzzy match (OpenSearch ``fuzziness``, scoring_boolean
+        rewrite): each analyzed query term expands over the vocabulary
+        within ``fuzziness`` Levenshtein (length-prefiltered df_stats
+        scan — |vocab| rows max, never data rows; swap in the published
+        SymSpell deletion index when vocabulary scans dominate), then
+        BM25-sums the expansion through the block index."""
+        from docs_indexer_spark.functions.analysis import analyze_text
+
+        terms = sorted(set(analyze_text(query, self.analyzer)))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        cond = None
+        for t in terms:
+            c = (
+                F.abs(F.length("term") - len(t)) <= fuzziness
+            ) & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness)
+            cond = c if cond is None else (cond | c)
+        rows = self.df_stats.filter(cond).collect()
+        n = self.n_docs
+        idf = {
+            int(r["term_id"]): math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in rows
+        }
+        ids = sorted(idf)
+        return bm25.score_from_blocks(self._blocks_for(ids), idf, ids, k=k)
+
     def search_phrase(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         """Exact-phrase search over a POSITIONAL index (built with
         positions=True; the reference mapping's term_vector

@@ -61,6 +61,9 @@ def main() -> None:
                    help="boolean semantics across query terms")
     q.add_argument("--prefix", action="store_true",
                    help="treat --q as a term prefix (vocabulary expansion)")
+    q.add_argument("--fuzzy", type=int, default=0, metavar="N",
+                   help="fuzzy match: expand each term over the vocabulary "
+                        "within N edits (OpenSearch fuzziness)")
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--input", required=True,
@@ -122,6 +125,11 @@ def main() -> None:
             ]
         elif args.prefix:
             rows = reader.search_prefix(args.q, k=args.k).collect()
+            hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+        elif args.fuzzy:
+            rows = reader.search_fuzzy(
+                args.q, k=args.k, fuzziness=args.fuzzy
+            ).collect()
             hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         else:
             rows = reader.search(args.q, k=args.k, exact=args.exact,

@@ -137,3 +137,31 @@ def test_oracle_score_sanity(oracle, corpus):
     assert top, "nonempty corpus must match"
     doc_id, score = top[0]
     assert abs(oracle.score("spark join", doc_id) - score) < 1e-12
+
+
+def test_search_fuzzy_published_index(spark, tmp_path):
+    """Fuzzy serving path: a 1-edit misspelling scores against the
+    expansion's own idf — equal to an exact search when the expansion
+    resolves to exactly the intended vocabulary term."""
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    cat = SnapshotCatalog(str(tmp_path / "wh_fz"))
+    build_index(spark, docs, cat, fingerprint="fp-fz", id_col="doc_id",
+                n_build_partitions=1, analyzer="stop")
+    reader = IndexReader(spark, cat)
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in reader.search("window", k=5, exact=True).collect()]
+    # "windoq" is 1 edit from "window" and from nothing else in the vocab
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in reader.search_fuzzy("windoq", k=5).collect()]
+    assert got == want and got
+    # unmatched gibberish → empty
+    assert reader.search_fuzzy("zzzzqqqq", k=5).count() == 0
+    reader.close()
