@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY entry (39 queries) pairs a Spark DataFrame plan from
+EVERY entry (40 queries) pairs a Spark DataFrame plan from
 docs_indexer_spark with an ANSI-SQL twin DuckDB runs on the same parquet
 tables — no rows-only rows.  The shared analysis chain for most
 SQL-parity queries is the ``stop`` chain (lowercase → [a-z0-9]+ split →

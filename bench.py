@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "bm25_wand_topk",
     "bm25_english_topk",
+    "fuzzy_search_topk",
     "term_df_topn",
     "bigram_counts",
     "keyword_filter_facet",
