@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-EVERY entry (40 queries) pairs a Spark DataFrame plan from
+EVERY entry (41 queries) pairs a Spark DataFrame plan from
 docs_indexer_spark with an ANSI-SQL twin DuckDB runs on the same parquet
 tables — no rows-only rows.  The shared analysis chain for most
 SQL-parity queries is the ``stop`` chain (lowercase → [a-z0-9]+ split →
@@ -343,6 +343,75 @@ def q_prefix_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # fuzzy match: a misspelled query term (OpenSearch match ... fuzziness:1)
 FUZZY_Q, FUZZY_DIST = "spakr", 1
+
+# more-like-this: seed document + number of representative terms
+MLT_DOC, MLT_TERMS = 7, 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (the OpenSearch MLT query — "related pages"): take
+    the seed document's top tf·idf terms (deterministic tie-break), BM25
+    the corpus with them, exclude the seed, top-10.  Term selection and
+    scoring share float64 arithmetic with the DuckDB twin, so the
+    selected term set — not just the scores — must agree."""
+    postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    top_terms = [
+        r["term"]
+        for r in postings.filter(F.col("doc_id") == MLT_DOC)
+        .join(dfs, "term")
+        .select("term", (F.col("tf") * idf).alias("w"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(MLT_TERMS)
+        .collect()
+    ]
+    top = bm25.score_from_tokens(
+        postings, doclens, n, avgdl, top_terms, k=11
+    )
+    return (
+        top.filter(F.col("doc_id") != MLT_DOC)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _mlt_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({STOKS}) AS term FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    doclens AS (
+      SELECT doc_id, len({STOKS}) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclens),
+    dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    seed AS (
+      SELECT p.term
+      FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+      WHERE p.doc_id = {MLT_DOC}
+      ORDER BY p.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+               p.term ASC
+      LIMIT {MLT_TERMS}
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                  * p.tf / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) ) AS s
+      FROM postings p
+      JOIN dfs d USING (term)
+      JOIN doclens l USING (doc_id)
+      CROSS JOIN stats s
+      WHERE p.term IN (SELECT term FROM seed) AND p.doc_id <> {MLT_DOC}
+      GROUP BY 1
+    )
+    SELECT doc_id, round(s, 6) AS score
+    FROM scored ORDER BY s DESC, doc_id LIMIT 10
+    """
 
 
 def q_fuzzy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": q_bm25_and_topk,
         "prefix_search_topk": q_prefix_search_topk,
         "fuzzy_search_topk": q_fuzzy_search_topk,
+        "more_like_this": q_more_like_this,
         "term_df_topn": q_term_df_topn,
         "doc_stats": q_doc_stats,
         "bigram_counts": q_bigram_counts,
@@ -1440,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search_topk": _bm25_oracle(
             f"levenshtein(p.term, '{FUZZY_Q}') <= {FUZZY_DIST}"
         ),
+        "more_like_this": _mlt_oracle(),
         "term_df_topn": f"""
             WITH toks AS (SELECT doc_id, unnest({STOKS}) AS term FROM documents),
             postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1,2)
