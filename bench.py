@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "bm25_wand_topk",
     "bm25_english_topk",
     "fuzzy_search_topk",
+    "more_like_this",
     "term_df_topn",
     "bigram_counts",
     "keyword_filter_facet",

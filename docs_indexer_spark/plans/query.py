@@ -210,6 +210,60 @@ class IndexReader:
             terms = sorted(set(terms) | set(expanded))
         return terms
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        docs: DataFrame,
+        k: int = DEFAULT_TOP_K,
+        max_terms: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """OpenSearch more_like_this: re-analyze the seed document (the
+        plain-highlighter strategy — ``docs`` is the corpus relation
+        carrying text; only the ONE seed row is fetched), keep its
+        ``max_terms`` top tf·idf terms, BM25 the block index with them,
+        exclude the seed."""
+        from collections import Counter
+
+        from docs_indexer_spark.functions.analysis import analyze_text
+
+        row = (
+            docs.filter(F.col(id_col) == doc_id).select(text_col).first()
+        )
+        if row is None or not row[0]:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        tf = Counter(analyze_text(row[0], self.analyzer))
+        n = self.n_docs
+        stats = self.df_stats.filter(
+            F.col("term").isin(sorted(tf))
+        ).collect()
+        weighted = sorted(
+            (
+                (
+                    -tf[r["term"]]
+                    * math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)),
+                    r["term"],
+                    int(r["term_id"]),
+                    r["df"],
+                )
+                for r in stats
+            ),
+        )[:max_terms]
+        idf = {
+            tid: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for _, _, tid, df in weighted
+        }
+        ids = sorted(idf)
+        top = bm25.score_from_blocks(
+            self._blocks_for(ids), idf, ids, k=k + 1
+        )
+        return (
+            top.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_with_docs(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         top = self.search(query, k=k)
         docs = self.catalog.read(self.spark, "index", "docs.parquet")

@@ -165,3 +165,29 @@ def test_search_fuzzy_published_index(spark, tmp_path):
     # unmatched gibberish → empty
     assert reader.search_fuzzy("zzzzqqqq", k=5).count() == 0
     reader.close()
+
+
+def test_more_like_this_serving(spark, tmp_path):
+    """Serving-path MLT over a published index: related docs share the
+    seed's representative terms; the seed itself is excluded."""
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    cat = SnapshotCatalog(str(tmp_path / "wh_mlt"))
+    build_index(spark, docs, cat, fingerprint="fp-mlt", id_col="doc_id",
+                n_build_partitions=1, analyzer="stop")
+    reader = IndexReader(spark, cat)
+    rows = reader.more_like_this(7, docs, k=10).collect()
+    got = [r["doc_id"] for r in rows]
+    assert len(got) == 10 and 7 not in got
+    assert all(rows[i]["score"] >= rows[i + 1]["score"]
+               for i in range(len(rows) - 1))
+    # a missing seed yields empty, not an error
+    assert reader.more_like_this(10**15, docs).count() == 0
+    reader.close()
