@@ -61,6 +61,13 @@ from docs_indexer_spark.extraction.html_text import html2text
 SHORTCODE_RE = re.compile(r"\{\{[<%]/?.*?[%>]\}\}")
 
 _FENCE_OPEN_RE = re.compile(r"^(`{3,}|~{3,})\s*([A-Za-z0-9_+\-.]*)\s*$")
+
+
+def _fence_close(ln: str, marker: str) -> bool:
+    """CommonMark closing fence: up to 3 leading spaces, then a run of at
+    least 3 fence chars (a column-0-only match would leave an indented
+    closer unconsumed and swallow the rest of the document)."""
+    return re.match(r" {0,3}" + re.escape(marker) + r"{3,}", ln) is not None
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)(?:\s+#+)?\s*$")
 _ATTR_LIST_RE = re.compile(r"\s*\{[:#.][^{}]*\}\s*$")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?\s*$")
@@ -193,7 +200,7 @@ def markdown_to_html(markdown_text: str) -> str:
     for ln in raw_lines:
         if fence_marker is not None:
             lines.append(ln)
-            if ln.rstrip().startswith(fence_marker * 3):
+            if _fence_close(ln, fence_marker):
                 fence_marker = None
             continue
         fm = _FENCE_OPEN_RE.match(ln)
@@ -220,7 +227,7 @@ def markdown_to_html(markdown_text: str) -> str:
             marker, lang = fence.group(1), fence.group(2)
             body: list[str] = []
             i += 1
-            while i < n and not lines[i].rstrip().startswith(marker[0] * 3):
+            while i < n and not _fence_close(lines[i], marker[0]):
                 body.append(lines[i])
                 i += 1
             i += 1  # skip closing fence

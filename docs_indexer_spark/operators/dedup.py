@@ -563,6 +563,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -588,7 +589,124 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning a non-converged labelling would silently split real
+        # clusters (dedup_representatives then KEEPS duplicates) — fail
+        # loudly so the caller raises max_iter or switches to the
+        # O(log n)-round two-phase variant below
+        raise RuntimeError(
+            f"connected_components: labels still changing after {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter or "
+            "use connected_components_star for chain-shaped graphs"
+        )
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, comp) — alternating large-star / small-star connected
+    components (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014).  Output is IDENTICAL to
+    :func:`connected_components` (comp = min reachable node id); the
+    difference is round complexity: O(log² n) rounds on ANY graph shape
+    vs O(diameter) for min-label propagation.  On clique-like near-dup
+    graphs plain propagation wins (2-3 rounds, one job each); on
+    chain/lattice-shaped candidate graphs — long shingle overlaps,
+    transitive URL chains — diameter can be thousands and this variant
+    is the one that terminates.
+
+    Each round is two phases, each one groupBy-min + one equi-join on
+    the current edge list (never a cartesian, never materialized paths):
+
+    - LARGE-STAR: for every node u link each STRICTLY LARGER neighbor v
+      to m = min(Γ(u) ∪ {u}) — detaches high ids from local minima
+      without ever increasing a node's smallest link;
+    - SMALL-STAR: orient edges large→small, then link every smaller
+      neighbor (and u itself) to the minimum — flattens the partial
+      trees toward stars.
+
+    Converges when the edge set is a fixed point (every edge (v, root));
+    per-round localCheckpoint truncates the iterative lineage exactly as
+    in :func:`connected_components`.
+    """
+    import logging
+
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"),
+            F.col(id_b).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).distinct().localCheckpoint()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetric neighborhood
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb")).select(
+            "a", F.least("a", "mb").alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star on large→small oriented edges
+        oriented = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mins2 = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            oriented.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point: the (distinct) edge sets are equal — one anti-join
+        # each way on relations we already hold
+        same = (
+            small.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(small).limit(1).count() == 0
+        )
+        e = small
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixed point in {max_iter} rounds"
+        )
+    logging.getLogger(__name__).info(
+        "connected_components_star converged in %d rounds", rounds
+    )
+    # at the fixed point every edge is (node, component-root); roots and
+    # isolated-in-pairs nodes label themselves
+    return (
+        nodes.join(
+            e.select(F.col("a").alias("node"), F.col("b").alias("comp")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce("comp", "node")).alias("comp"))
+    )
 
 
 def dedup_representatives(
@@ -597,13 +715,21 @@ def dedup_representatives(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """``docs`` minus non-representative near-duplicate cluster members
     (keep the min-id doc per connected component) — the end-to-end dedup
     FILTER a training-data pipeline applies after candidate discovery +
     verification.  Docs in no pair are kept untouched (left-anti on the
-    drop set, never a full join of the corpus against itself)."""
-    comp = connected_components(pairs, id_a, id_b)
+    drop set, never a full join of the corpus against itself).
+
+    ``algorithm``: "label" (min-label propagation — round-optimal on the
+    clique-like graphs near-dup discovery emits) or "star" (alternating
+    large/small-star — O(log² n) rounds on any shape; use when the
+    candidate graph may contain long chains)."""
+    cc = connected_components_star if algorithm == "star" \
+        else connected_components
+    comp = cc(pairs, id_a, id_b)
     drop = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )

@@ -89,11 +89,25 @@ def _rp_sig_kernel(planes_by_table):
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             emb = batch.column(1)
+            n = batch.num_rows
+            # a null or ragged-length row would silently misalign every
+            # subsequent row in the reshape — fail loudly instead
+            if emb.null_count:
+                raise ValueError(
+                    "rp_signatures: null embedding rows in batch"
+                )
+            import pyarrow.compute as pc
+
+            lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+            if n and int(lens.min()) != int(lens.max()):
+                raise ValueError(
+                    "rp_signatures: ragged embedding lengths "
+                    f"{int(lens.min())}..{int(lens.max())} in batch"
+                )
             flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
                 np.float64
             )
-            n = batch.num_rows
-            dim = len(flat) // n if n else 0
+            dim = int(lens[0]) if n else 0
             x = flat.reshape(n, dim)
             out_ids, out_v, out_tbl, out_sig = [], [], [], []
             for t, planes in enumerate(planes_by_table):

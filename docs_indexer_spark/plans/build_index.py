@@ -177,15 +177,19 @@ def build_index(
         else:
             part = with_rendering_fields(
                 prepare_documents(raw_slice, use_extraction=use_extraction)
-            ).withColumn(
-                # content identity for the stored doc row: the snapshot-diff
-                # consumer (catalog.incremental) must see body-only edits
-                # even though the store drops the text/html payloads
+            )
+            # content identity for the stored doc row: the snapshot-diff
+            # consumer (catalog.incremental) must see body-only edits even
+            # though the store drops the text/html payloads.  The guard
+            # must check the POST-prepare columns — prepare_documents drops
+            # html when text already exists, and coalescing an unresolvable
+            # column fails analysis.
+            part = part.withColumn(
                 "content_hash",
                 F.xxhash64(F.coalesce(
                     F.col("text"),
                     *([F.col("html").cast("string")]
-                      if "html" in raw_slice.columns else []),
+                      if "html" in part.columns else []),
                     F.lit(""),
                 )),
             )

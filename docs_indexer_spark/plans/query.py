@@ -33,12 +33,20 @@ class IndexReader:
         if meta is None:
             raise FileNotFoundError("no published index generation")
         self.meta = meta
+        # snapshot isolation: resolve CURRENT exactly once and pin the
+        # generation PATH — every subsequent read (blocks, df_stats, doc
+        # store, per-query manifest pruning) goes through this path, so a
+        # writer republishing mid-lifetime can never mix another
+        # generation's blocks with this reader's pinned idf/term stats
+        self.gen_path = catalog.generation_path("index")
         self.analyzer = meta["metrics"].get("analyzer", "english")
         self.n_docs = int(meta["metrics"]["n_docs"])
-        self.blocks = catalog.read(spark, "index", "blocks.parquet")
+        self.blocks = catalog.read_at(spark, self.gen_path, "blocks.parquet")
         # vocabulary-sized and consulted by EVERY query (idf + term-id
         # lookups): cached for the reader's lifetime; close() releases
-        self.df_stats = catalog.read(spark, "index", "df_stats.parquet").persist()
+        self.df_stats = catalog.read_at(
+            spark, self.gen_path, "df_stats.parquet"
+        ).persist()
 
     def close(self) -> None:
         self.df_stats.unpersist()
@@ -46,15 +54,15 @@ class IndexReader:
     def _blocks_for(self, term_ids: list[int]) -> DataFrame:
         """Per-query block relation, manifest-pruned to the files whose
         term_id range can contain a query term (Iceberg manifest-level
-        pruning; generations published before manifests fall back to the
-        full relation — the query's own IN-filter stays correct either
-        way)."""
+        pruning against the PINNED generation — see __init__; generations
+        published before manifests fall back to the full relation — the
+        query's own IN-filter stays correct either way)."""
         try:
-            return self.catalog.read_pruned(
-                self.spark, "index", "blocks.parquet", "term_id",
+            return self.catalog.read_pruned_at(
+                self.spark, self.gen_path, "blocks.parquet", "term_id",
                 [int(t) for t in term_ids],
             )
-        except Exception:
+        except FileNotFoundError:
             return self.blocks
 
     def _idf(self, terms: list[str]) -> dict[int, float]:
@@ -196,8 +204,10 @@ class IndexReader:
         )
         stems = sorted(set(analyze_text(query, self.analyzer)))
         try:  # generations published before the surfaces table lack it
-            surf = self.catalog.read(self.spark, "index", "surfaces.parquet")
-        except Exception:
+            surf = self.catalog.read_at(
+                self.spark, self.gen_path, "surfaces.parquet"
+            )
+        except FileNotFoundError:
             surf = None
         if surf is not None:
             tid_rows = self.df_stats.filter(F.col("term").isin(stems)).select(
@@ -266,7 +276,7 @@ class IndexReader:
 
     def search_with_docs(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         top = self.search(query, k=k)
-        docs = self.catalog.read(self.spark, "index", "docs.parquet")
+        docs = self.catalog.read_at(self.spark, self.gen_path, "docs.parquet")
         return top.join(docs, "doc_id", "left").orderBy(
             F.desc("score"), F.asc("doc_id")
         )

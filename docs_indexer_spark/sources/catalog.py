@@ -253,7 +253,18 @@ class SnapshotCatalog:
         gen_path = self.generation_path(table)
         if gen_path is None:
             raise FileNotFoundError(f"no published generation for {table}")
-        return spark.read.parquet(os.path.join(gen_path, name))
+        return self.read_at(spark, gen_path, name)
+
+    @staticmethod
+    def read_at(spark: SparkSession, gen_path: str, name: str) -> DataFrame:
+        """Read a dataset of an EXPLICIT generation path — the snapshot-
+        isolation primitive: a reader that pins the path it resolved at
+        construction keeps reading that generation even if a concurrent
+        writer republishes CURRENT mid-lifetime."""
+        p = os.path.join(gen_path, name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+        return spark.read.parquet(p)
 
     # -- manifest-level file pruning (Iceberg manifest analogue) -----------
     @staticmethod
@@ -306,7 +317,16 @@ class SnapshotCatalog:
         gen_path = self.generation_path(table)
         if gen_path is None:
             raise FileNotFoundError(f"no published generation for {table}")
+        return self.read_pruned_at(spark, gen_path, name, key, values)
+
+    @staticmethod
+    def read_pruned_at(spark: SparkSession, gen_path: str, name: str,
+                       key: str, values: list) -> DataFrame:
+        """Manifest-pruned read of an EXPLICIT generation path (see
+        :meth:`read_at` for why readers pin the path)."""
         root = os.path.join(gen_path, name)
+        if not os.path.exists(root):
+            raise FileNotFoundError(root)
         mpath = os.path.join(root, "_MANIFEST.json")
         if not os.path.exists(mpath) or not values:
             return spark.read.parquet(root)

@@ -589,3 +589,59 @@ def test_connected_components_chain_and_representatives(spark):
     kept = {r["doc_id"]
             for r in dedup_representatives(docs, pairs).collect()}
     assert kept == {1, 10, 20}
+
+
+def test_connected_components_star_equivalence_and_long_chain(spark):
+    """large-star/small-star (Kiveris et al. 2014) must (a) agree with
+    min-label propagation on an arbitrary mixed graph, (b) converge on a
+    path graph whose diameter far exceeds label propagation's default
+    round budget — the O(log n)-vs-O(diameter) case it exists for — and
+    (c) label propagation must now FAIL LOUDLY (not return a wrong
+    partition) when it exhausts max_iter before converging."""
+    import random
+
+    import pytest as _pytest
+
+    from docs_indexer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        dedup_representatives,
+    )
+
+    # (a) random mixed graph: cliques + chains + isolated pair
+    rng = random.Random(7)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    base = 100
+    for _ in range(40):  # random edges among 100..139
+        a, b = rng.sample(range(base, base + 40), 2)
+        edges.append((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got_label = {r["node"]: r["comp"]
+                 for r in connected_components(pairs).collect()}
+    got_star = {r["node"]: r["comp"]
+                for r in connected_components_star(pairs).collect()}
+    assert got_star == got_label
+
+    # (b) path graph of length 60: diameter 60 >> max_iter=20 rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    star = {r["node"]: r["comp"]
+            for r in connected_components_star(chain).collect()}
+    assert set(star) == set(range(61)) and set(star.values()) == {0}
+
+    # (c) label propagation on the same chain: must raise, not lie
+    with _pytest.raises(RuntimeError, match="still changing"):
+        connected_components(chain, max_iter=5)
+
+    # representatives through the star path
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 10, 11, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_representatives(
+        docs, spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                    "doc_a long, doc_b long"),
+        algorithm="star",
+    ).collect()}
+    assert kept == {1, 10, 99}
