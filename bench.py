@@ -125,7 +125,16 @@ def time_query_latency(spark, sf_dir: str, n_queries: int = 24):
     phrases = [" ".join(terms[i: i + 2]) for i in range(0, 24, 2)]
     pp50, pp95 = pcts(lambda q: reader.search_phrase(q, k=10).collect(),
                       phrases)
-    return p50, p95, pp50, pp95
+    # fuzzy serving (SymSpell deletion-index probe + OSA verify):
+    # transposed misspellings of head terms — each must hit at
+    # fuzziness=1 under Damerau-OSA
+    miss = [
+        t[:1] + t[2] + t[1] + t[3:]
+        for t in terms if len(t) >= 4
+    ][:8]
+    fp50, fp95 = pcts(lambda q: reader.search_fuzzy(q, k=10).collect(),
+                      miss)
+    return p50, p95, pp50, pp95, fp50, fp95
 
 
 def time_suggest_latency(spark, sf_dir: str) -> tuple[float, float, float]:
@@ -222,11 +231,13 @@ def main() -> None:
     per_query["index_build_sec"] = round(build_sec, 3)
     per_query["index_build_docs_per_sec"] = round(n_docs / build_sec, 1)
 
-    p50, p95, pp50, pp95 = time_query_latency(spark, SF_DIR)
+    p50, p95, pp50, pp95, fp50, fp95 = time_query_latency(spark, SF_DIR)
     per_query["bm25_query_p50_sec"] = p50
     per_query["bm25_query_p95_sec"] = p95
     per_query["phrase_query_p50_sec"] = pp50
     per_query["phrase_query_p95_sec"] = pp95
+    per_query["fuzzy_query_p50_sec"] = fp50
+    per_query["fuzzy_query_p95_sec"] = fp95
 
     sp, sp50, sp95 = time_suggest_latency(spark, SF_DIR)
     per_query["suggest_precompute_sec"] = sp

@@ -34,17 +34,23 @@ tests/test_extraction.py):
 
 - PASS: fenced code (+language class), pipe tables, ATX headings
   (+attr_list anchors), SETEXT headings, indented (4-space/tab) code
-  blocks, horizontal rules, flat + one-level-nested lists, blockquotes,
-  inline code/em/strong/images, inline + reference + shortcut links
-  (definitions consumed).
+  blocks, horizontal rules, flat + one-level-nested lists, blockquotes
+  (nested — quoted bodies recurse through the full block grammar, round
+  4), blockquote-in-list-item, inline code/em/strong/images, inline +
+  reference + shortcut links (definitions consumed), raw inline AND
+  block-level HTML passthrough (python-markdown keeps raw HTML; bs4
+  downstream keeps only its text — escaping it would leak literal
+  "<div ...>" into the extracted text), entity references (named,
+  decimal, hex) kept intact with smart-ampersand escaping for bare "&"
+  (round 4).
 - KNOWN DIVERGENCES (documented, not silently wrong): multi-paragraph
   ("loose") list items join their continuation lines with a space instead
-  of nested <p> blocks; a ">"-only separator line inside one blockquote
-  run joins both paragraphs into one <p> (same extracted text); HTML
-  blocks embedded in markdown pass through as text (html2text then keeps
-  their text, which matches the reference's final output for text-bearing
-  HTML).  Lazy paragraph continuation inside blockquotes IS recognized
-  (round 3).  List nesting recurses to arbitrary depth (4 spaces/level).
+  of nested <p> blocks; entity references inside `code spans` stay
+  references (python-markdown double-escapes them, so its final text
+  keeps the literal "&copy;" while ours decodes to "©"); autolinks
+  (<https://x>) stay escaped text.  Lazy paragraph continuation inside
+  blockquotes IS recognized (round 3).  List nesting recurses to
+  arbitrary depth (4 spaces/level).
 """
 
 from __future__ import annotations
@@ -102,11 +108,46 @@ def strip_shortcodes(text: str) -> str:
     return SHORTCODE_RE.sub("", text)
 
 
+# a valid-looking character/entity reference (python-markdown leaves
+# these intact; a BARE ampersand becomes &amp;) and a raw inline HTML
+# tag / comment (python-markdown passes raw HTML through — escaping it
+# would make html2text emit the tag text itself, leaking "<div ...>"
+# into the extracted text where the reference pipeline yields nothing)
+_ENTITY_RE = re.compile(
+    r"&(?:[A-Za-z][A-Za-z0-9]{1,31}|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});"
+)
+_TAG_RE = re.compile(
+    r"</?[A-Za-z][A-Za-z0-9-]*(?:\s[^<>]*?)?/?>|<!--.*?-->", re.DOTALL
+)
+
+
+def _escape_text(s: str) -> str:
+    """HTML-escape text, keeping valid entity references intact
+    (smart-ampersand: python-markdown semantics)."""
+    s = _ENTITY_RE.sub(lambda m: "\x00" + m.group(0)[1:], s)
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return s.replace("\x00", "&")
+
+
+def _escape_inline(text: str) -> str:
+    """Escape inline text while passing raw HTML tags/comments through
+    verbatim (python-markdown keeps inline HTML; bs4 later drops the
+    tags and keeps only their text)."""
+    out: list[str] = []
+    pos = 0
+    for m in _TAG_RE.finditer(text):
+        out.append(_escape_text(text[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_escape_text(text[pos:]))
+    return "".join(out)
+
+
 def _inline(text: str, refs: dict[str, str] | None = None) -> str:
     """Inline markdown → HTML (code spans, images, links — inline,
     reference and shortcut style — strong, em)."""
     refs = refs or {}
-    out = _html.escape(text, quote=False)
+    out = _escape_inline(text)
     out = _CODE_SPAN_RE.sub(lambda m: f"<code>{m.group(1)}</code>", out)
     out = _IMG_RE.sub(lambda m: f'<img alt="{m.group(1)}" src="{m.group(2)}" />', out)
     out = _LINK_RE.sub(lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>', out)
@@ -175,6 +216,15 @@ def _list_html(lines: list[str], refs: dict[str, str] | None = None) -> str:
             items.append(
                 f"<li>{_inline(text, refs)}{_list_html(sub, refs)}\n</li>"
             )
+        elif sub and sub[0].lstrip().startswith(">"):
+            # blockquote nested in a list item (4-space-indented "> ..."):
+            # recurse through the block grammar so the ">" markers never
+            # leak into the extracted text
+            items.append(
+                f"<li>{_inline(text, refs)}"
+                + _render_blocks(sub, refs)
+                + "\n</li>"
+            )
         elif sub:  # loose continuation lines belong to the item text
             joined = " ".join([text] + [s.strip() for s in sub if s.strip()])
             items.append(f"<li>{_inline(joined, refs)}</li>")
@@ -213,6 +263,39 @@ def markdown_to_html(markdown_text: str) -> str:
             refs[d.group(1).lower()] = d.group(2)
         else:
             lines.append(ln)
+    return _render_blocks(lines, refs)
+
+
+# block-level tags python-markdown passes through verbatim (a block whose
+# first line opens one of these is raw HTML: consumed to the next blank
+# line, NOT wrapped in <p>, NOT escaped — html2text then extracts only
+# its text, matching the reference's markdown()→bs4 behavior)
+_BLOCK_HTML_TAGS = {
+    "address", "article", "aside", "audio", "blockquote", "canvas", "dd",
+    "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "iframe",
+    "li", "main", "nav", "noscript", "ol", "output", "p", "pre",
+    "script", "section", "style", "table", "tbody", "td", "tfoot", "th",
+    "thead", "tr", "ul", "video",
+}
+_BLOCK_HTML_RE = re.compile(r"^<(/?)([A-Za-z][A-Za-z0-9-]*)|^<!--")
+
+
+def _is_block_html(line: str) -> bool:
+    m = _BLOCK_HTML_RE.match(line)
+    if not m:
+        return False
+    if m.group(0) == "<!--":
+        return True
+    return m.group(2).lower() in _BLOCK_HTML_TAGS
+
+
+def _render_blocks(lines: list[str], refs: dict[str, str]) -> str:
+    """Render pre-processed markdown lines (ref-defs consumed) to HTML
+    blocks.  Factored out of :func:`markdown_to_html` so blockquote
+    bodies recurse through the FULL block grammar (nested quotes,
+    paragraphs, lists — python-markdown parses quoted content as
+    markdown, it does not flatten it into one paragraph)."""
     blocks: list[str] = []
     i = 0
     n = len(lines)
@@ -240,6 +323,16 @@ def markdown_to_html(markdown_text: str) -> str:
         if _HR_RE.match(line):
             blocks.append("<hr />")
             i += 1
+            continue
+
+        # raw block-level HTML: passed through verbatim to the next blank
+        # line (python-markdown; bs4 downstream keeps only the text)
+        if _is_block_html(line):
+            raw: list[str] = []
+            while i < n and lines[i].strip():
+                raw.append(lines[i])
+                i += 1
+            blocks.append("\n".join(raw))
             continue
 
         # indented (4-space / tab) code block — python-markdown core;
@@ -314,9 +407,10 @@ def markdown_to_html(markdown_text: str) -> str:
                     i += 1
                 else:
                     break
-            inner = "\n".join(quoted)
             blocks.append(
-                "<blockquote>\n<p>" + _inline(inner, refs) + "</p>\n</blockquote>"
+                "<blockquote>\n"
+                + _render_blocks(quoted, refs)
+                + "\n</blockquote>"
             )
             continue
 
@@ -338,6 +432,7 @@ def markdown_to_html(markdown_text: str) -> str:
                 or _UL_ITEM_RE.match(nxt)
                 or _OL_ITEM_RE.match(nxt)
                 or _HR_RE.match(nxt)
+                or nxt.lstrip().startswith(">")
             ):
                 break
             para.append(nxt)

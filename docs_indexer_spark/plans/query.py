@@ -104,12 +104,25 @@ class IndexReader:
             return bm25.score_from_blocks(blocks, idf, ids, k=k)
         return wand.wand_topk(blocks, idf, ids, k=k)
 
-    def search_prefix(self, prefix: str, k: int = DEFAULT_TOP_K) -> DataFrame:
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = DEFAULT_TOP_K,
+        max_expansions: int = 50,
+    ) -> DataFrame:
         """Prefix query (scoring_boolean rewrite): expand over the
-        vocabulary (|matches| rows collected, never data rows), BM25-sum
-        the expansion through the block index."""
+        vocabulary, BM25-sum the expansion through the block index.  The
+        expansion is capped to ``max_expansions`` terms by descending df
+        (Lucene's multi-term rewrite cap, default 50) BEFORE the collect
+        — a one-character prefix on a 10⁸-term web vocabulary must never
+        flood the driver with millions of vocabulary rows."""
         prefix = prefix.lower().rstrip("*")
-        rows = self.df_stats.filter(F.col("term").startswith(prefix)).collect()
+        rows = (
+            self.df_stats.filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
         n = self.n_docs
         idf = {
             int(r["term_id"]): math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
@@ -118,32 +131,82 @@ class IndexReader:
         ids = sorted(idf)
         return bm25.score_from_blocks(self._blocks_for(ids), idf, ids, k=k)
 
-    def search_fuzzy(
-        self, query: str, k: int = DEFAULT_TOP_K, fuzziness: int = 1
+    def _fuzzy_candidates_df(
+        self, terms: list[str], fuzziness: int
     ) -> DataFrame:
-        """Fuzzy match (OpenSearch ``fuzziness``, scoring_boolean
-        rewrite): each analyzed query term expands over the vocabulary
-        within ``fuzziness`` Levenshtein (length-prefiltered df_stats
-        scan — |vocab| rows max, never data rows; swap in the published
-        SymSpell deletion index when vocabulary scans dominate), then
-        BM25-sums the expansion through the block index."""
+        """Plan producing the (term, term_id, df) rows that MAY sit
+        within ``fuzziness`` Damerau-OSA of some query term — via the
+        published SymSpell deletion index (equi-join on the query's own
+        deletion variants; one job for all query terms), falling back
+        for pre-deletion-index generations to a df_stats scan bounded by
+        threshold-Levenshtein ≤ 2·fuzziness (lev ≤ 2·OSA, so the bound
+        is a superset).  Either way the caller OSA-verifies; the result
+        is O(neighborhood) rows, never the vocabulary."""
+        from docs_indexer_spark.operators.suggest import _deletion_variants
+
+        try:
+            dels = self.catalog.read_at(
+                self.spark, self.gen_path, "deletions.parquet"
+            )
+        except FileNotFoundError:
+            cond = None
+            for t in terms:
+                c = (
+                    F.abs(F.length("term") - len(t)) <= 2 * fuzziness
+                ) & (
+                    F.levenshtein(F.col("term"), F.lit(t), 2 * fuzziness) >= 0
+                )
+                cond = c if cond is None else (cond | c)
+            return self.df_stats.filter(cond)
+        variants = sorted(
+            {v for t in terms for v in _deletion_variants(t, fuzziness)}
+        )
+        cands = (
+            dels.filter(F.col("variant").isin(variants))
+            .select("term")
+            .distinct()
+        )
+        return self.df_stats.join(F.broadcast(cands), "term")
+
+    def search_fuzzy(
+        self,
+        query: str,
+        k: int = DEFAULT_TOP_K,
+        fuzziness: int = 1,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Fuzzy match (OpenSearch ``fuzziness`` with the default
+        ``transpositions: true``, scoring_boolean rewrite): each analyzed
+        query term expands to the vocabulary terms within ``fuzziness``
+        DAMERAU-OSA edits — a transposition ("spakr" → "spark") counts as
+        ONE edit, matching Lucene's FuzzyQuery automaton, where plain
+        Levenshtein would miss it.
+
+        Serving shape: query deletion variants equi-join the published
+        SymSpell ``deletions.parquet`` (candidate superset, one job, no
+        vocabulary scan), exact OSA verifies the collected candidates
+        driver-side, the surviving expansion is capped per query term to
+        ``max_expansions`` by descending df (Lucene default 50), and the
+        union BM25-sums through the block index."""
         from docs_indexer_spark.functions.analysis import analyze_text
+        from docs_indexer_spark.functions.fuzzy import osa_distance
 
         terms = sorted(set(analyze_text(query, self.analyzer)))
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        cond = None
-        for t in terms:
-            c = (
-                F.abs(F.length("term") - len(t)) <= fuzziness
-            ) & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness)
-            cond = c if cond is None else (cond | c)
-        rows = self.df_stats.filter(cond).collect()
+        rows = self._fuzzy_candidates_df(terms, fuzziness).collect()
         n = self.n_docs
-        idf = {
-            int(r["term_id"]): math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
-            for r in rows
-        }
+        idf: dict[int, float] = {}
+        for t in terms:
+            verified = [
+                r for r in rows
+                if osa_distance(r["term"], t, cap=fuzziness) <= fuzziness
+            ]
+            verified.sort(key=lambda r: (-r["df"], r["term"]))
+            for r in verified[:max_expansions]:
+                idf[int(r["term_id"])] = math.log(
+                    1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)
+                )
         ids = sorted(idf)
         return bm25.score_from_blocks(self._blocks_for(ids), idf, ids, k=k)
 
@@ -225,15 +288,22 @@ class IndexReader:
         doc_id: int,
         docs: DataFrame,
         k: int = DEFAULT_TOP_K,
-        max_terms: int = 5,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
         text_col: str = "text",
         id_col: str = "doc_id",
     ) -> DataFrame:
         """OpenSearch more_like_this: re-analyze the seed document (the
         plain-highlighter strategy — ``docs`` is the corpus relation
-        carrying text; only the ONE seed row is fetched), keep its
-        ``max_terms`` top tf·idf terms, BM25 the block index with them,
-        exclude the seed."""
+        carrying text; only the ONE seed row is fetched), keep its top
+        tf·idf terms, BM25 the block index with them, exclude the seed.
+
+        Term-selection knobs mirror the OpenSearch MLT defaults so
+        low-signal terms never enter the query set on real corpora:
+        ``max_query_terms`` (25) caps the selected terms,
+        ``min_term_freq`` (2) drops terms the SEED mentions fewer times,
+        ``min_doc_freq`` (5) drops corpus-rare noise terms."""
         from collections import Counter
 
         from docs_indexer_spark.functions.analysis import analyze_text
@@ -244,9 +314,15 @@ class IndexReader:
         if row is None or not row[0]:
             return self.spark.createDataFrame([], "doc_id long, score double")
         tf = Counter(analyze_text(row[0], self.analyzer))
+        tf = Counter(
+            {t: c for t, c in tf.items() if c >= min_term_freq}
+        )
+        if not tf:
+            return self.spark.createDataFrame([], "doc_id long, score double")
         n = self.n_docs
         stats = self.df_stats.filter(
             F.col("term").isin(sorted(tf))
+            & (F.col("df") >= min_doc_freq)
         ).collect()
         weighted = sorted(
             (
@@ -259,7 +335,7 @@ class IndexReader:
                 )
                 for r in stats
             ),
-        )[:max_terms]
+        )[:max_query_terms]
         idf = {
             tid: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
             for _, _, tid, df in weighted

@@ -284,3 +284,106 @@ def test_blockquote_lazy_continuation():
     html2 = markdown_to_html(md2)
     assert "<h1>heading after</h1>" in html2
     assert "heading after" not in html2.split("</blockquote>")[0]
+
+
+def test_markdown_raw_html_block_passthrough():
+    """python-markdown passes raw block-level HTML through verbatim; the
+    reference's html2text stage then keeps only its TEXT — tags must
+    never leak into the extracted text (round-3 verdict item 8)."""
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = (
+        "Before.\n\n"
+        '<div class="note">\n'
+        "<p>Inside <b>bold</b> text.</p>\n"
+        "</div>\n\n"
+        "After."
+    )
+    html = markdown_to_html(md)
+    assert '<div class="note">' in html          # verbatim, not escaped
+    assert "&lt;div" not in html
+    text = markdown_to_text(md)
+    assert "Inside bold text." in text
+    assert "<" not in text and ">" not in text   # no tag leakage
+    # comments pass through too (bs4 keeps comment text — pinned by the
+    # reference golden for html2text("<!-- note -->"))
+    assert " hidden note " in markdown_to_text("x\n\n<!-- hidden note -->\n\ny")
+
+
+def test_markdown_raw_inline_html():
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = "A <span>span</span> and <abbr title='t'>abbr</abbr> here."
+    assert "<span>span</span>" in markdown_to_html(md)
+    assert markdown_to_text(md) == "A span and abbr here."
+    # a lone "<" that opens no tag is escaped, not swallowed
+    assert markdown_to_text("if a < b then") == "if a < b then"
+
+
+def test_markdown_entity_references():
+    """Named / decimal / hex entity references survive to the HTML stage
+    intact (smart ampersand: only a BARE & is escaped), so the text
+    stage decodes them exactly as bs4 decodes python-markdown output."""
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = "AT&amp;T vs AT&T and &copy; 2024 &mdash; star &#9733; hex &#x2605;"
+    html = markdown_to_html(md)
+    assert "&copy;" in html and "&#9733;" in html and "&#x2605;" in html
+    assert "AT&amp;T vs AT&amp;T" in html        # both forms normalize
+    assert markdown_to_text(md) == "AT&T vs AT&T and © 2024 — star ★ hex ★"
+
+
+def test_markdown_nested_blockquote():
+    """Quoted bodies recurse through the block grammar: '> >' nests, a
+    '>'-only separator splits paragraphs, and no '>' marker ever leaks
+    into the text."""
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = "> outer\n> > inner quote\n\nafter"
+    html = markdown_to_html(md)
+    assert html.count("<blockquote>") == 2
+    assert "inner quote" in html
+    text = markdown_to_text(md)
+    assert ">" not in text
+    assert "outer" in text and "inner quote" in text and "after" in text
+    # paragraph split on a ">"-only line
+    html2 = markdown_to_html("> first para\n>\n> second para")
+    assert html2.count("<p>") == 2
+
+
+def test_markdown_blockquote_in_list_item():
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = "- item one\n    > quoted inside item\n- item two"
+    html = markdown_to_html(md)
+    assert "<blockquote>" in html and "quoted inside item" in html
+    text = markdown_to_text(md)
+    assert ">" not in text
+    for frag in ("item one", "quoted inside item", "item two"):
+        assert frag in text
+
+
+def test_markdown_indented_closing_fence():
+    """A closing fence indented up to 3 spaces closes the block
+    (CommonMark); previously it was missed and the fence swallowed the
+    rest of the document."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_text
+
+    md = "```\ncode line\n  ```\n\nAfter fence."
+    text = markdown_to_text(md)
+    assert "code line" in text and "After fence." in text
