@@ -190,3 +190,72 @@ def test_mlt_parameter_fidelity(spark, fuzzy_index):
         7, docs, k=10, min_doc_freq=10**6
     ).count() == 0
     reader.close()
+
+
+def test_osa_properties_hypothesis():
+    """Property sweep (pure python, no Spark): symmetry, the
+    Levenshtein sandwich OSA ≤ lev ≤ 2·OSA, and identity-of-
+    indiscernibles over random short strings."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcd"
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+        d = osa_distance(a, b)
+        assert d == osa_distance(b, a)
+        assert (d == 0) == (a == b)
+        lv = lev(a, b)
+        assert d <= lv <= 2 * d or (d == lv == 0)
+
+
+def test_symspell_deletion_neighborhoods_complete_for_osa():
+    """The SymSpell candidate join is OSA-COMPLETE: whenever
+    OSA(a, b) ≤ d, the depth-d deletion neighborhoods of a and b
+    intersect (transpositions included — drop either swapped char from
+    both sides).  This is the property that lets search_fuzzy replace a
+    vocabulary scan with an equi-join without losing matches."""
+    import random
+
+    from docs_indexer_spark.operators.suggest import _deletion_variants
+
+    rng = random.Random(23)
+    alphabet = "abcde"
+
+    def mutate(w):
+        ops = []
+        if w:
+            i = rng.randrange(len(w))
+            ops += [
+                w[:i] + w[i + 1:],                       # delete
+                w[:i] + rng.choice(alphabet) + w[i + 1:],  # substitute
+            ]
+            if i + 1 < len(w):
+                ops.append(w[:i] + w[i + 1] + w[i] + w[i + 2:])  # transpose
+        i = rng.randrange(len(w) + 1)
+        ops.append(w[:i] + rng.choice(alphabet) + w[i:])  # insert
+        return rng.choice(ops)
+
+    checked = 0
+    for _ in range(400):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+        b = mutate(a) if rng.random() < 0.5 else mutate(mutate(a))
+        for d in (1, 2):
+            if osa_distance(a, b, cap=d) <= d:
+                na = set(_deletion_variants(a, d))
+                nb = set(_deletion_variants(b, d))
+                assert na & nb, (a, b, d)
+                checked += 1
+    assert checked > 300  # the sweep actually exercised the property
