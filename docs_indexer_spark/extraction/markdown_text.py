@@ -43,14 +43,16 @@ tests/test_extraction.py):
   "<div ...>" into the extracted text), entity references (named,
   decimal, hex) kept intact with smart-ampersand escaping for bare "&"
   (round 4).
+- PASS (round-4 additions): code spans are parsed FIRST with fully
+  escaped content (an entity inside backticks stays the literal
+  "&copy;" in the final text, and emphasis/link syntax inside code is
+  never re-parsed — python-markdown's parse order); URL and email
+  autolinks (<https://x>, <user@host.tld>).
 - KNOWN DIVERGENCES (documented, not silently wrong): multi-paragraph
   ("loose") list items join their continuation lines with a space instead
-  of nested <p> blocks; entity references inside `code spans` stay
-  references (python-markdown double-escapes them, so its final text
-  keeps the literal "&copy;" while ours decodes to "©"); autolinks
-  (<https://x>) stay escaped text.  Lazy paragraph continuation inside
-  blockquotes IS recognized (round 3).  List nesting recurses to
-  arbitrary depth (4 spaces/level).
+  of nested <p> blocks.  Lazy paragraph continuation inside blockquotes
+  IS recognized (round 3).  List nesting recurses to arbitrary depth
+  (4 spaces/level).
 """
 
 from __future__ import annotations
@@ -143,12 +145,45 @@ def _escape_inline(text: str) -> str:
     return "".join(out)
 
 
+_AUTOLINK_RE = re.compile(r"<([A-Za-z][A-Za-z0-9+.-]*://[^<>\s]+)>")
+_AUTOMAIL_RE = re.compile(r"<([\w.+-]+@[\w.-]+\.[A-Za-z]{2,})>")
+
+
 def _inline(text: str, refs: dict[str, str] | None = None) -> str:
-    """Inline markdown → HTML (code spans, images, links — inline,
-    reference and shortcut style — strong, em)."""
+    """Inline markdown → HTML (code spans, autolinks, images, links —
+    inline, reference and shortcut style — strong, em).
+
+    Code spans and autolinks are lifted into placeholders FIRST
+    (python-markdown's parse order): code content is FULLY escaped (an
+    entity reference inside backticks stays a literal "&copy;" in the
+    final text) and neither may be re-mangled by the emphasis/link
+    passes (underscores in a URL are not <em> markers)."""
     refs = refs or {}
-    out = _escape_inline(text)
-    out = _CODE_SPAN_RE.sub(lambda m: f"<code>{m.group(1)}</code>", out)
+    protected: list[str] = []
+
+    def _protect(rendered: str) -> str:
+        protected.append(rendered)
+        return f"\x01{len(protected) - 1}\x01"
+
+    out = _CODE_SPAN_RE.sub(
+        lambda m: _protect(
+            f"<code>{_html.escape(m.group(1), quote=False)}</code>"
+        ),
+        text,
+    )
+    out = _AUTOLINK_RE.sub(
+        lambda m: _protect(
+            f'<a href="{m.group(1)}">{_escape_text(m.group(1))}</a>'
+        ),
+        out,
+    )
+    out = _AUTOMAIL_RE.sub(
+        lambda m: _protect(
+            f'<a href="mailto:{m.group(1)}">{_escape_text(m.group(1))}</a>'
+        ),
+        out,
+    )
+    out = _escape_inline(out)
     out = _IMG_RE.sub(lambda m: f'<img alt="{m.group(1)}" src="{m.group(2)}" />', out)
     out = _LINK_RE.sub(lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>', out)
 
@@ -164,6 +199,8 @@ def _inline(text: str, refs: dict[str, str] | None = None) -> str:
         )
     out = _STRONG_RE.sub(lambda m: f"<strong>{m.group(1) or m.group(2)}</strong>", out)
     out = _EM_RE.sub(lambda m: f"<em>{m.group(1) or m.group(2)}</em>", out)
+    for idx, rendered in enumerate(protected):
+        out = out.replace(f"\x01{idx}\x01", rendered)
     return out
 
 

@@ -113,6 +113,7 @@ def phrase_match_blocks(
     term_ids: list[int],
     id_col: str = "doc_id",
     offsets: list[int] | None = None,
+    term_dfs: dict[int, int] | None = None,
 ) -> DataFrame:
     """Phrase matching over the COMPRESSED block index (requires blocks
     built with ``positions=True``): decode only the phrase terms' blocks
@@ -125,24 +126,102 @@ def phrase_match_blocks(
     its original token indices here so "merge the sort" matches documents
     where the terms are two apart — Lucene match_phrase's position
     increments.
+
+    LEAD-WITH-THE-RAREST (Lucene's advance()-driven conjunction,
+    re-expressed at block granularity): the result docs are a subset of
+    the RAREST term's docs, so the rare term's doc_ids are decoded
+    FIRST (O(df_rare) — its doc-id stream, not positions) and every
+    other term keeps only the blocks whose [first_doc_id, last_doc_id]
+    CONTAINS at least one rare doc — a vectorized searchsorted over the
+    sorted rare-doc array inside a mapInPandas filter on block METADATA
+    (no decode, no join).  A "the <rare-word>" phrase then decodes
+    O(df_rare) of the head term's postings instead of O(df_head).
+    Block-RANGE overlap against the rare term's own blocks would NOT
+    work: a sparse term's 128-posting blocks span wide doc ranges that
+    cover the whole space.
+
+    ``term_dfs`` (term_id → df) lets the caller supply document
+    frequencies it already holds (IndexReader's persisted df_stats; the
+    fused build's df relation) so NO extra job runs here; without it one
+    block-metadata aggregate computes them.  Pruning engages only when
+    it can pay: with rare docs uniformly spread, the kept fraction of a
+    head term's blocks is ≈ 1 − e^(−λ) for λ = 128·df_rare/df_head, so
+    pruning requires df_rare·128 ≤ df_head (λ ≤ 1 → ≥37% skipped,
+    far more for clustered or very rare terms) and df_rare ≤ 200k so
+    the rare-doc array stays driver/closure-sized; both-terms-frequent
+    phrases pay O(Σ df) like every positional engine.  Joins always run
+    in ascending-df order so intermediate results never exceed the
+    rarest relation.
     """
     from docs_indexer_spark.operators.spimi import decode_position_blocks
 
     if offsets is None:
         offsets = list(range(len(term_ids)))
-    decoded = decode_position_blocks(
-        blocks.filter(F.col("term_id").isin([int(t) for t in term_ids]))
-    )
+    tids = [int(t) for t in term_ids]
+    cand = blocks.filter(F.col("term_id").isin(tids))
+    spark = blocks.sparkSession
+    if term_dfs is not None:
+        nd = {int(t): int(df) for t, df in term_dfs.items()}
+    else:
+        nd = {
+            int(r["term_id"]): int(r["nd"])
+            for r in cand.groupBy("term_id")
+            .agg(F.sum("n_docs").alias("nd"))
+            .collect()
+        }
+    if any(t not in nd or nd[t] <= 0 for t in set(tids)):
+        # a phrase term absent from the index can never match — answer
+        # without touching a single block
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_occurrences int, first_pos int"
+        )
+    rare = min(set(tids), key=lambda t: nd[t])
+    df_max = max(nd[t] for t in set(tids))
+    if (
+        len(set(tids)) > 1
+        and nd[rare] * 128 <= df_max
+        and nd[rare] <= 200_000
+    ):
+        import numpy as np
+
+        from docs_indexer_spark.operators.compression import (
+            delta_decode_doc_ids,
+        )
+
+        rare_docs = np.sort(np.concatenate([
+            delta_decode_doc_ids(r["doc_ids_bin"])
+            for r in cand.filter(F.col("term_id") == rare)
+            .select("doc_ids_bin").collect()
+        ] or [np.array([], dtype=np.int64)]))
+
+        def _keep_containing(pdfs):
+            for pdf in pdfs:
+                lo = np.searchsorted(
+                    rare_docs, pdf["first_doc_id"].values, side="left"
+                )
+                hi = np.searchsorted(
+                    rare_docs, pdf["last_doc_id"].values, side="right"
+                )
+                yield pdf[hi > lo]
+
+        others = cand.filter(F.col("term_id") != rare).mapInPandas(
+            _keep_containing, schema=cand.schema
+        )
+        cand = others.unionByName(cand.filter(F.col("term_id") == rare))
+    decoded = decode_position_blocks(cand)
     parts = []
-    for i, tid in enumerate(term_ids):
-        p = decoded.filter(F.col("term_id") == int(tid)).select(
+    for i, tid in enumerate(tids):
+        p = decoded.filter(F.col("term_id") == tid).select(
             F.col(id_col),
             F.transform("positions", _shift(offsets[i])).alias(f"p{i}"),
         )
         parts.append(p)
-    joined = parts[0]
-    acc = F.col("p0")
-    for i in range(1, len(parts)):
+    # ascending-df join order (intersection is commutative; _hits are
+    # phrase-start anchors regardless of order)
+    order = sorted(range(len(parts)), key=lambda i: nd[tids[i]])
+    joined = parts[order[0]]
+    acc = F.col(f"p{order[0]}")
+    for i in order[1:]:
         joined = joined.join(parts[i], id_col)
         acc = F.array_intersect(acc, F.col(f"p{i}"))
     # _hits holds anchor positions shifted down by offsets[0]; add it back

@@ -126,6 +126,62 @@ class _TermList:
             self._load()
 
 
+def _drain_exact(lists: list, heap: list, k: int) -> None:
+    """Exhaustively score every REMAINING posting of ``lists`` with one
+    vectorized numpy pass, merging into the WAND heap — the escape hatch
+    for the degenerate regime where every query term is a head term with
+    near-uniform block maxima (df/N → 1), block-max pruning cannot beat
+    the θ threshold, and the per-doc Python pointer walk would evaluate
+    ~every document at interpreter speed.
+
+    EXACTNESS: a doc with remaining postings is either (a) ahead of all
+    cursors — all its postings are drained, full score; (b) behind some
+    cursor only via next_geq block skips — Ding & Suel's invariant
+    already proved its TOTAL score < θ, and the drained partial score is
+    ≤ total, so it cannot displace a heap entry; fully-evaluated docs
+    advanced every containing list past themselves, so they are never
+    re-scored.  Result set is therefore identical to the pointer walk.
+    """
+    ids_parts: list[np.ndarray] = []
+    sc_parts: list[np.ndarray] = []
+    for lst in lists:
+        if lst.exhausted:
+            continue
+        ids_parts.append(lst.ids[lst.pos:])
+        sc_parts.append(lst.scores[lst.pos:])
+        for bi in range(lst.bi + 1, lst.n_blocks):
+            ids = delta_decode_doc_ids(lst.ids_bins[bi])
+            ids_parts.append(ids)
+            sc_parts.append(
+                decode_tf_norms(lst.norms_bins[bi], len(ids)).astype(
+                    np.float64
+                )
+                * lst.idf
+            )
+        lst.bi = lst.n_blocks
+        lst._load()
+    if not ids_parts:
+        return
+    ids = np.concatenate(ids_parts)
+    sc = np.concatenate(sc_parts)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, sc)
+    if len(uniq) > 4 * k:
+        # candidate cut before the heap loop — keep every doc scoring at
+        # least the 4k-th value (ties INCLUDED, so the doc_id tie-break
+        # can never lose its winner at the cut boundary)
+        kth = np.partition(acc, len(acc) - 4 * k)[len(acc) - 4 * k]
+        keep = acc >= kth
+        uniq, acc = uniq[keep], acc[keep]
+    for d, s in zip(uniq.tolist(), acc.tolist()):
+        entry = (float(s), -int(d))
+        if len(heap) < k:
+            heapq.heappush(heap, entry)
+        elif entry > heap[0]:
+            heapq.heapreplace(heap, entry)
+
+
 def wand_topk_lists(
     term_blocks: dict,
     idf: Mapping,
@@ -139,11 +195,20 @@ def wand_topk_lists(
         if idf.get(t) and len(blocks)
     ]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    evals = 0
+    skips = 0
 
     def theta() -> float:
         return heap[0][0] if len(heap) >= k else float("-inf")
 
     while True:
+        # degenerate-regime detector: once the heap is full, if full
+        # evaluations vastly outnumber skips the bounds aren't pruning
+        # (all-head-term query, uniform maxima) — switch this bucket to
+        # one vectorized exact drain instead of a per-doc Python walk
+        if evals >= 8192 and skips * 10 < evals and len(heap) >= k:
+            _drain_exact(lists, heap, k)
+            break
         active = [l for l in lists if not l.exhausted]
         if not active:
             break
@@ -169,6 +234,7 @@ def wand_topk_lists(
         # that actually cover pivot_doc
         block_sum = sum(l.block_max_at(pivot_doc) for l in active[: pivot + 1])
         if block_sum < th:
+            skips += 1
             # shallow skip (Ding & Suel GetNewCandidate): jump past the
             # nearest block boundary, but never past the next list's
             # cur_doc — beyond it the participating-list set changes and
@@ -185,6 +251,7 @@ def wand_topk_lists(
             continue
         if active[0].cur_doc == pivot_doc:
             # full evaluation: every list at pivot_doc contributes
+            evals += 1
             score = 0.0
             for lst in active:
                 if lst.cur_doc == pivot_doc:

@@ -289,9 +289,15 @@ def build_index(
     # built once per published generation.
     from docs_indexer_spark.operators.suggest import deletion_index
 
+    # range-partitioned + sorted by variant: each query's variant IN-list
+    # prunes whole files via parquet min/max stats — at a 10^8-term web
+    # vocabulary this table is ~45× vocabulary rows, so a coalesced write
+    # would both serialize the build and defeat serving-side pruning
     deletion_index(
         dfs.select("term", F.col("df").alias("cf")), max_edits=2
-    ).select("variant", "term").coalesce(8).write.mode("overwrite").parquet(
+    ).select("variant", "term").repartitionByRange(
+        16, "variant"
+    ).sortWithinPartitions("variant").write.mode("overwrite").parquet(
         f"{gen_path}/deletions.parquet"
     )
     doclens.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/doclens.parquet")

@@ -238,14 +238,23 @@ class IndexReader:
         terms = [t for t, _ in terms_pos]
         offsets = [p for _, p in terms_pos]
         # term_id = xxhash64(term): one trivial local job, no vocabulary
-        # scan per query; an unindexed term simply has no blocks, so the
-        # inner position-join yields the correct empty result
+        # scan per query; dfs come from the persisted df_stats relation
+        # (tiny filter-collect) so phrase_match_blocks runs no metadata
+        # job, early-outs on unindexed terms, and can decide
+        # rarest-lead pruning from real document frequencies
         row = self.spark.range(1).select(
             *[F.xxhash64(F.lit(t)).alias(f"t{i}") for i, t in enumerate(terms)]
         ).collect()[0]
         term_ids = [int(row[f"t{i}"]) for i in range(len(terms))]
+        term_dfs = {
+            int(r["term_id"]): int(r["df"])
+            for r in self.df_stats.filter(
+                F.col("term_id").isin(term_ids)
+            ).collect()
+        }
         return phrase_match_blocks(
-            self._blocks_for(term_ids), term_ids, offsets=offsets
+            self._blocks_for(term_ids), term_ids, offsets=offsets,
+            term_dfs=term_dfs,
         ).orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
 
     def highlight_terms(self, query: str) -> list[str]:

@@ -387,3 +387,29 @@ def test_markdown_indented_closing_fence():
     md = "```\ncode line\n  ```\n\nAfter fence."
     text = markdown_to_text(md)
     assert "code line" in text and "After fence." in text
+
+
+def test_markdown_code_span_fidelity():
+    """python-markdown parses code spans FIRST and fully escapes their
+    content: an entity inside backticks stays a literal reference in the
+    final text, and emphasis/underscore syntax inside code is never
+    re-parsed."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_text
+
+    assert markdown_to_text("use `&copy;` not &copy;") == "use &copy; not ©"
+    assert markdown_to_text("`a*b*c` and `x_y_z`") == "a*b*c and x_y_z"
+    assert markdown_to_text("calc `a & b`") == "calc a & b"
+
+
+def test_markdown_autolinks():
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    md = "see <https://ex.com/a_b?x=1&y=2> or mail <dev@example.com>"
+    html = markdown_to_html(md)
+    assert '<a href="https://ex.com/a_b?x=1&y=2">' in html
+    assert '<a href="mailto:dev@example.com">' in html
+    assert markdown_to_text(md) == \
+        "see https://ex.com/a_b?x=1&y=2 or mail dev@example.com"

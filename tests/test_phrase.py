@@ -228,3 +228,57 @@ def test_phrase_blocks_offsets_first_pos(spark, phrase_docs):
     # doc 1: merge@{1,5}, sort@{0,6}   → adjacent at 5     → first 'merge' @5
     # doc 3: merge@{0},  sort@{1}      → adjacent at 0
     assert got == {0: (2, 0), 1: (1, 5), 3: (1, 0)}
+
+
+def test_phrase_blocks_rarest_lead_pruning(spark):
+    """Lead-with-the-rarest (round 4): a skewed phrase (head term +
+    rarer co-occurring term) must produce matches identical to the
+    position-postings oracle through the pruned block path, and a
+    phrase containing a term absent from the index answers empty
+    WITHOUT decoding any blocks (metadata-only early-out)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 300)
+    postings = token_positions(docs)
+    # pick the most frequent term (head) and a term that co-occurs
+    # adjacently with it somewhere, preferring a rare one
+    from collections import Counter
+
+    rows = postings.select("term", "doc_id", "positions").collect()
+    df_count = Counter(r["term"] for r in rows)
+    head = df_count.most_common(1)[0][0]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = set(r["positions"])
+    partner = None
+    for d, terms in by_doc.items():
+        if head not in terms:
+            continue
+        for t, ps in terms.items():
+            if t != head and any(p + 1 in ps for p in terms[head]):
+                if partner is None or df_count[t] < df_count[partner]:
+                    partner = t
+    assert partner, "fixture must contain an adjacent pair"
+    phrase = [head, partner]
+
+    want = {
+        (r["doc_id"], r["n_occurrences"], r["first_pos"])
+        for r in phrase_occurrences(postings, phrase).collect()
+    }
+    blocks = _build_pos_blocks(spark, docs, n_buckets=8)
+    tids = [
+        spark.createDataFrame([(t,)], "t string")
+        .select(F.xxhash64("t"))
+        .collect()[0][0]
+        for t in phrase
+    ]
+    got = {
+        (r["doc_id"], r["n_occurrences"], r["first_pos"])
+        for r in phrase_match_blocks(blocks, tids).collect()
+    }
+    assert got == want and got
+
+    # absent term → empty without decode
+    missing = spark.createDataFrame([("zz-not-a-term",)], "t string") \
+        .select(F.xxhash64("t")).collect()[0][0]
+    assert phrase_match_blocks(blocks, [tids[0], missing]).count() == 0
