@@ -60,14 +60,26 @@ def run_at(cores: int, input_path: str, runs: int = 1) -> dict:
     closest observable to true machine capability — identically at both
     parallelism levels."""
     results = []
-    for _ in range(runs):
+    for i in range(runs):
         code = RUN_SNIPPET.format(
             repo=REPO, cores=cores, shuffle=max(2 * cores, 16), input=input_path
         )
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            check=True,
-        )
+        attempts = 0
+        while True:
+            attempts += 1
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+            )
+            if out.returncode == 0:
+                break
+            sys.stderr.write(
+                f"# run {i} at local[{cores}] failed "
+                f"(attempt {attempts}):\n{out.stderr[-3000:]}\n"
+            )
+            if attempts >= 2:
+                raise RuntimeError(
+                    f"scaling run failed twice at local[{cores}]"
+                )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results.append(json.loads(line))
     best = min(results, key=lambda r: r["sec"])

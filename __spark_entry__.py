@@ -550,6 +550,22 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM perplexity filter (Wenzek et al., LREC
+    2020) — the classic LLM-training-data quality gate: score every
+    document under the corpus's own add-0.5-smoothed bigram LM and
+    surface the 20 HIGHEST-perplexity documents (gibberish/boilerplate
+    candidates a pipeline would drop).  Shares the LM with the phrase
+    suggester; the whole plan is native explode + two vocabulary-sized
+    equi-joins + one aggregate."""
+    from docs_indexer_spark.functions.text_quality import lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    return lm_perplexity(docs).orderBy(
+        F.desc("perplexity"), F.asc("doc_id")
+    ).limit(20)
+
+
 def q_suffix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse-token index (reverse analyzer, SURVEY §2 B5): tokens ending
     in 'er' found via reversed-prefix match, with frequencies."""
@@ -1420,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search_topk": q_fuzzy_search_topk,
         "more_like_this": q_more_like_this,
         "term_df_topn": q_term_df_topn,
+        "lm_perplexity": q_lm_perplexity,
         "doc_stats": q_doc_stats,
         "bigram_counts": q_bigram_counts,
         "suffix_search": q_suffix_search,
@@ -1584,6 +1601,34 @@ def oracle_sql() -> dict[str, str]:
             f"damerau_levenshtein(p.term, '{FUZZY_Q}') <= {FUZZY_DIST}"
         ),
         "more_like_this": _mlt_oracle(),
+        "lm_perplexity": f"""
+            WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
+            vocab AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM vocab),
+            d AS (SELECT doc_id, {TOKS} AS arr FROM documents),
+            bi AS (
+              SELECT arr[i] AS w1, arr[i+1] AS w2, count(*) AS bc
+              FROM d, unnest(range(1, len(arr))) t(i) GROUP BY 1, 2
+            ),
+            docbg AS (
+              SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+              FROM d, unnest(range(1, len(arr))) t(i) WHERE len(arr) >= 2
+            ),
+            scored AS (
+              SELECT doc_id,
+                     ln((coalesce(bc, 0) + 0.5)
+                        / (coalesce(cf, 0) + 0.5 * V)) AS lp
+              FROM docbg
+              LEFT JOIN bi USING (w1, w2)
+              LEFT JOIN vocab ON vocab.term = docbg.w1
+              CROSS JOIN stats
+            )
+            SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                   round(sum(lp), 6) AS logprob,
+                   round(exp(-sum(lp) / count(*)), 6) AS perplexity
+            FROM scored GROUP BY doc_id
+            ORDER BY perplexity DESC, doc_id LIMIT 20
+        """,
         "term_df_topn": f"""
             WITH toks AS (SELECT doc_id, unnest({STOKS}) AS term FROM documents),
             postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1,2)

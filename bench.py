@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "token_count_topn",
     "lang_id_confusion",
+    "lm_perplexity",
     "ann_cosine_topk",
     "minhash_lsh_pairs",
     "simhash_near_dups",

@@ -147,3 +147,77 @@ def fingerprint_col(text_col, window: int = 8):
     from docs_indexer_spark.functions.analysis import tokens_col
 
     return F.xxhash64(F.array_join(tokens_col(text_col), " "))
+
+
+def lm_perplexity(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_docs=None,
+):
+    """(doc_id, n_bigrams, logprob, perplexity) — corpus-bigram-LM
+    perplexity per document, the CCNet-style quality filter (Wenzek et
+    al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", LREC 2020): score each document under a language model
+    trained on the corpus itself (or ``lm_docs`` — typically a trusted
+    reference corpus); documents whose token transitions the LM finds
+    improbable (boilerplate, gibberish, lists of tokens) surface with
+    HIGH perplexity and get filtered before training.
+
+    Shares the add-0.5-smoothed bigram model with the phrase suggester
+    (operators/suggest.py):
+
+        P(w2 | w1) = (bc(w1,w2) + 0.5) / (cf(w1) + 0.5·V)
+        logprob    = Σ ln P;   perplexity = exp(−logprob / n_bigrams)
+
+    Everything is native DataFrame algebra — doc-bigram explode, two
+    broadcast-eligible equi-joins against the LM tables (vocabulary-
+    sized), one aggregate — so Catalyst handles pushdown and the whole
+    plan survives 100×: the corpus-sized relation is touched exactly
+    once, the LM tables once at build.  Documents with fewer than 2
+    tokens have no transitions and are omitted (CCNet drops them too).
+    """
+    from docs_indexer_spark.functions.analysis import tokens_col
+    from docs_indexer_spark.operators.suggest import bigram_table, vocabulary
+    from docs_indexer_spark.session import spread
+
+    lm_src = lm_docs if lm_docs is not None else docs
+    vocab = vocabulary(lm_src, text_col)
+    bigrams = bigram_table(lm_src, text_col)
+    v_row = vocab.agg(F.count(F.lit(1)).cast("double").alias("V")).collect()
+    v = float(v_row[0]["V"])
+
+    toks = spread(docs, key=id_col).select(
+        F.col(id_col), tokens_col(text_col).alias("t")
+    )
+    n = F.size("t")
+    doc_bigrams = toks.filter(n >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = (
+        doc_bigrams.join(bigrams, ["w1", "w2"], "left")
+        .join(vocab.select(F.col("term").alias("w1"), "cf"), "w1", "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("bc"), F.lit(0)) + 0.5)
+                / (F.coalesce(F.col("cf"), F.lit(0)) + 0.5 * F.lit(v))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(F.sum("lp"), 6).alias("logprob"),
+        F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 6).alias(
+            "perplexity"
+        ),
+    )
