@@ -566,6 +566,18 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality signals (Rae et al. 2021, Table A1):
+    duplicate n-gram fractions (pure zero-shuffle projection — per-row
+    array HOFs) + top-unigram fraction (one explode + two-level agg)
+    per document — the signals a training-data pipeline thresholds to
+    drop degenerate/repetitive documents."""
+    from docs_indexer_spark.functions.text_quality import repetition_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return repetition_stats(docs).orderBy("doc_id")
+
+
 def q_suffix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse-token index (reverse analyzer, SURVEY §2 B5): tokens ending
     in 'er' found via reversed-prefix match, with frequencies."""
@@ -1437,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "term_df_topn": q_term_df_topn,
         "lm_perplexity": q_lm_perplexity,
+        "repetition_stats": q_repetition_stats,
         "doc_stats": q_doc_stats,
         "bigram_counts": q_bigram_counts,
         "suffix_search": q_suffix_search,
@@ -1601,6 +1614,44 @@ def oracle_sql() -> dict[str, str]:
             f"damerau_levenshtein(p.term, '{FUZZY_Q}') <= {FUZZY_DIST}"
         ),
         "more_like_this": _mlt_oracle(),
+        "repetition_stats": f"""
+            WITH d AS (
+              SELECT doc_id, {TOKS} AS t FROM documents WHERE doc_id < 100
+            ),
+            g AS (
+              SELECT doc_id, t,
+                CASE WHEN len(t) >= 2 THEN
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE []::VARCHAR[] END AS g2,
+                CASE WHEN len(t) >= 3 THEN
+                  list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE []::VARCHAR[] END AS g3
+              FROM d
+            ),
+            wc AS (
+              SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS tuf
+              FROM wc GROUP BY doc_id
+            )
+            SELECT g.doc_id, CAST(len(t) AS INT) AS n_tokens,
+              CASE WHEN len(t) > 0 THEN
+                round((len(t) - len(list_distinct(t))) / len(t), 6)
+              ELSE 0.0 END AS dup_unigram_frac,
+              CASE WHEN len(g2) > 0 THEN
+                round((len(g2) - len(list_distinct(g2))) / len(g2), 6)
+              ELSE 0.0 END AS dup_bigram_frac,
+              CASE WHEN len(g3) > 0 THEN
+                round((len(g3) - len(list_distinct(g3))) / len(g3), 6)
+              ELSE 0.0 END AS dup_trigram_frac,
+              coalesce(top.tuf, 0.0) AS top_unigram_frac
+            FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+            ORDER BY g.doc_id
+        """,
         "lm_perplexity": f"""
             WITH toks AS (SELECT unnest({TOKS}) AS term FROM documents),
             vocab AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "token_count_topn",
     "lang_id_confusion",
     "lm_perplexity",
+    "repetition_stats",
     "ann_cosine_topk",
     "minhash_lsh_pairs",
     "simhash_near_dups",

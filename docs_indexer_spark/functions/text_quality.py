@@ -221,3 +221,79 @@ def lm_perplexity(
             "perplexity"
         ),
     )
+
+
+def repetition_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, n_tokens, dup_unigram_frac, dup_bigram_frac,
+    dup_trigram_frac, top_unigram_frac) — the Gopher repetition quality
+    signals (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+    Table A1), token-level: a training-data pipeline drops documents
+    whose n-gram duplication exceeds thresholds (Gopher: duplicate
+    5-gram fraction > 0.30, top-2-gram fraction > 0.18, etc. — the
+    thresholds stay with the caller; this operator computes the
+    signals).
+
+    Scale shape: the three duplicate-n-gram fractions are a PURE
+    PROJECTION — per-row array HOFs (shingle transform +
+    array_distinct), zero shuffles, whole-stage codegen.  Only
+    top_unigram_frac (count of the most frequent token / total) needs
+    an explode + two-level aggregate — one shuffle with map-side
+    combine.  Empty docs report zero fractions.
+    """
+    from docs_indexer_spark.functions.analysis import tokens_col
+    from docs_indexer_spark.session import spread
+
+    t = tokens_col(text_col)
+
+    def grams(n):
+        if n == 1:
+            return F.col("_t")
+        return F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("_t", i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(col):
+        n = F.size(col)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(col))) / n, 6),
+        ).otherwise(F.lit(0.0))
+
+    base = spread(docs, key=id_col).select(F.col(id_col), t.alias("_t"))
+    fracs = base.select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        dup_frac(grams(1)).alias("dup_unigram_frac"),
+        dup_frac(grams(2)).alias("dup_bigram_frac"),
+        dup_frac(grams(3)).alias("dup_trigram_frac"),
+    )
+    top = (
+        base.select(id_col, F.explode("_t").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_unigram_frac")
+        )
+    )
+    return fracs.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_unigram_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        F.coalesce("top_unigram_frac", F.lit(0.0)).alias(
+            "top_unigram_frac"
+        ),
+    )
