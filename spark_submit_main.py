@@ -47,6 +47,8 @@ def main() -> None:
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--id-col", default=None)
     b.add_argument("--extract-html", action="store_true")
+    b.add_argument("--warc", action="store_true",
+                   help="input is WARC archive(s) (Common Crawl container), not parquet")
     b.add_argument("--positions", action="store_true",
                    help="store positional postings (enables phrase queries)")
 
@@ -101,14 +103,18 @@ def main() -> None:
     from docs_indexer_spark.sources.catalog import SnapshotCatalog
 
     if args.cmd == "build":
+        from docs_indexer_spark.sources.warc import read_warc
+
         catalog = SnapshotCatalog(args.warehouse)
-        docs = spark.read.parquet(args.input)
+        docs = (read_warc(spark, args.input) if args.warc
+                else spark.read.parquet(args.input))
         metrics = build_index(
             spark, docs, catalog, args.fingerprint,
             analyzer=args.analyzer,
             n_build_partitions=args.partitions,
             n_buckets=args.buckets,
-            use_extraction=args.extract_html,
+            # WARC input carries html only — extraction is implied
+            use_extraction=args.extract_html or args.warc,
             id_col=args.id_col,
             positions=args.positions,
         )
