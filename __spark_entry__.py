@@ -566,6 +566,23 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk at a fixed token budget —
+    GPT-style pretraining's corpus→training-sequence mapping): where
+    every document lands in the virtual token stream.  Distributed
+    two-phase prefix sum (range partitions + broadcast prefix offsets);
+    the twin is a plain ordered window cumsum — the output is a pure
+    function of (doc_id order, token counts), so both must agree
+    exactly."""
+    from docs_indexer_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return pack_sequences(docs, budget=PACK_BUDGET).orderBy("doc_id")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality signals (Rae et al. 2021, Table A1):
     duplicate n-gram fractions (pure zero-shuffle projection — per-row
@@ -1450,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_topn": q_term_df_topn,
         "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
         "doc_stats": q_doc_stats,
         "bigram_counts": q_bigram_counts,
         "suffix_search": q_suffix_search,
@@ -1614,6 +1632,25 @@ def oracle_sql() -> dict[str, str]:
             f"damerau_levenshtein(p.term, '{FUZZY_Q}') <= {FUZZY_DIST}"
         ),
         "more_like_this": _mlt_oracle(),
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, len({TOKS}) AS n FROM documents
+              WHERE doc_id < 200
+            ),
+            c AS (
+              SELECT doc_id, n,
+                     coalesce(sum(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start
+              FROM t
+            )
+            SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(start // {PACK_BUDGET} AS BIGINT) AS seq_id,
+                   CAST(start % {PACK_BUDGET} AS BIGINT) AS offset
+            FROM c ORDER BY doc_id
+        """,
         "repetition_stats": f"""
             WITH d AS (
               SELECT doc_id, {TOKS} AS t FROM documents WHERE doc_id < 100

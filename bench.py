@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "lang_id_confusion",
     "lm_perplexity",
     "repetition_stats",
+    "pack_sequences",
     "ann_cosine_topk",
     "minhash_lsh_pairs",
     "simhash_near_dups",

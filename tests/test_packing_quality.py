@@ -1,0 +1,101 @@
+"""Sequence packing + LM-quality operators: distributed prefix-sum
+determinism, budget-boundary spanning, and edge cases (empty docs,
+single-token docs, reference LM corpus)."""
+
+from pyspark.sql import functions as F
+
+
+def test_pack_sequences_matches_serial_reference(spark):
+    """Two-phase distributed prefix sum must equal the serial
+    concat-then-chunk placement for ANY partition count, including
+    docs spanning budget boundaries and empty docs."""
+    from docs_indexer_spark.operators.packing import pack_sequences
+
+    rows = [
+        (0, "a b c"),            # 3 tokens
+        (1, " ".join(["w"] * 7)),  # spans the budget of 8 → into seq 1
+        (2, ""),                  # empty doc: 0 tokens, placed, no gap
+        (3, "x y"),
+        (4, " ".join(["z"] * 9)),  # longer than budget
+        (5, "q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_parts in (1, 2, 4):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start"], r["seq_id"], r["offset"])
+            for r in pack_sequences(docs, budget=8, n_parts=n_parts).collect()
+        }
+        start = 0
+        for doc_id, text in rows:
+            n = len([t for t in text.split() if t])
+            assert got[doc_id] == (n, start, start // 8, start % 8), (
+                n_parts, doc_id)
+            start += n
+
+
+def test_pack_sequences_at_testdata_scale(spark):
+    """Monotone starts, no token gaps, budget arithmetic — over the real
+    corpus with forced multi-partition execution."""
+    from docs_indexer_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 300)
+    out = pack_sequences(docs, budget=512, n_parts=8).orderBy(
+        "doc_id"
+    ).collect()
+    assert len(out) == 300
+    pos = 0
+    for r in out:
+        assert r["start"] == pos
+        assert r["seq_id"] == pos // 512 and r["offset"] == pos % 512
+        pos += r["n_tokens"]
+
+
+def test_lm_perplexity_edges(spark):
+    """<2-token docs are omitted; a separate reference LM corpus scores
+    unseen transitions as improbable (higher perplexity than seen
+    ones)."""
+    from docs_indexer_spark.functions.text_quality import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "one"), (2, ""),
+         (3, "the cat sat")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    assert set(out) == {0, 3}          # 1-token and empty docs omitted
+    assert out[0]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 2
+
+    ref = spark.createDataFrame(
+        [(10, "the cat sat the cat sat")], "doc_id long, text string"
+    )
+    scored = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(docs, lm_docs=ref).collect()
+    }
+    # doc 3 is exactly the reference's chain → far lower perplexity
+    # than doc 0, which leaves the reference's support
+    assert scored[3] < scored[0]
+
+
+def test_repetition_stats_edges(spark):
+    from docs_indexer_spark.functions.text_quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"),          # fully repetitive
+         (1, "w x y z"),          # fully distinct
+         (2, ""),                 # empty
+         (3, "p q p q p q")],     # repeated bigram chain
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["dup_unigram_frac"] == 0.75      # 4 tokens, 1 distinct
+    assert out[0]["dup_bigram_frac"] == 0.666667   # 3 grams, 1 distinct (rounded 6)
+    assert out[0]["top_unigram_frac"] == 1.0
+    assert out[1]["dup_unigram_frac"] == 0.0
+    assert out[1]["top_unigram_frac"] == 0.25
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["dup_unigram_frac"] == 0.0
+    assert out[2]["top_unigram_frac"] == 0.0
+    assert out[3]["dup_trigram_frac"] == 0.5       # 4 grams, 2 distinct
