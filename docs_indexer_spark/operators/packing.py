@@ -94,8 +94,17 @@ def pack_sequences(
             out["offset"] = (starts % budget).astype("int64")
             yield out
 
-    return parted.mapInPandas(
+    out = parted.mapInPandas(
         assign,
         schema=f"{id_col} long, n_tokens int, start long, "
         "seq_id long, offset long",
     )
+    # localCheckpoint materializes the assignment NOW (truncating the
+    # lineage back to parted), so the cached corpus-sized relation can be
+    # released before returning — without this every call leaked a
+    # persisted copy of the token counts for the session lifetime, and
+    # the caller could never safely unpersist it because the returned
+    # plan still depended on it.
+    out = out.localCheckpoint(eager=True)
+    parted.unpersist()
+    return out

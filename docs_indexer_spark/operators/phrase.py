@@ -114,6 +114,7 @@ def phrase_match_blocks(
     id_col: str = "doc_id",
     offsets: list[int] | None = None,
     term_dfs: dict[int, int] | None = None,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Phrase matching over the COMPRESSED block index (requires blocks
     built with ``positions=True``): decode only the phrase terms' blocks
@@ -145,16 +146,23 @@ def phrase_match_blocks(
     fused build's df relation) so NO extra job runs here; without it one
     block-metadata aggregate computes them.  Pruning engages only when
     it can pay: with rare docs uniformly spread, the kept fraction of a
-    head term's blocks is ≈ 1 − e^(−λ) for λ = 128·df_rare/df_head, so
-    pruning requires df_rare·128 ≤ df_head (λ ≤ 1 → ≥37% skipped,
-    far more for clustered or very rare terms) and df_rare ≤ 200k so
-    the rare-doc array stays driver/closure-sized; both-terms-frequent
-    phrases pay O(Σ df) like every positional engine.  Joins always run
-    in ascending-df order so intermediate results never exceed the
-    rarest relation.
+    head term's blocks is ≈ 1 − e^(−λ) for λ = B·df_rare/df_head (B =
+    postings per block), so pruning requires df_rare·B ≤ df_head
+    (λ ≤ 1 → ≥37% skipped, far more for clustered or very rare terms)
+    and df_rare ≤ 200k so the rare-doc array stays driver/closure-sized;
+    both-terms-frequent phrases pay O(Σ df) like every positional
+    engine.  Joins always run in ascending-df order so intermediate
+    results never exceed the rarest relation.
+
+    ``block_size`` is B in that calibration — callers reading a
+    PUBLISHED index should pass the generation's recorded block size
+    (IndexReader does); the default is this build's config.BLOCK_SIZE.
     """
+    from docs_indexer_spark.config import BLOCK_SIZE
     from docs_indexer_spark.operators.spimi import decode_position_blocks
 
+    if block_size is None:
+        block_size = BLOCK_SIZE
     if offsets is None:
         offsets = list(range(len(term_ids)))
     tids = [int(t) for t in term_ids]
@@ -179,7 +187,7 @@ def phrase_match_blocks(
     df_max = max(nd[t] for t in set(tids))
     if (
         len(set(tids)) > 1
-        and nd[rare] * 128 <= df_max
+        and nd[rare] * block_size <= df_max
         and nd[rare] <= 200_000
     ):
         import numpy as np

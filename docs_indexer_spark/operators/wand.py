@@ -165,8 +165,10 @@ def _drain_exact(lists: list, heap: list, k: int) -> None:
     ids = np.concatenate(ids_parts)
     sc = np.concatenate(sc_parts)
     uniq, inv = np.unique(ids, return_inverse=True)
-    acc = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(acc, inv, sc)
+    # bincount's contiguous accumulate is ~10x faster than the np.add.at
+    # scatter path on large inverse arrays — this IS the hot loop of the
+    # degenerate (head-term) regime at 10M+ docs
+    acc = np.bincount(inv, weights=sc, minlength=len(uniq))
     if len(uniq) > 4 * k:
         # candidate cut before the heap loop — keep every doc scoring at
         # least the 4k-th value (ties INCLUDED, so the doc_id tie-break

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from docs_indexer_spark.config import BM25Params
+from docs_indexer_spark.config import BLOCK_SIZE, BM25Params
 from docs_indexer_spark.extraction.udfs import html2text_udf
 from docs_indexer_spark.operators import spimi
 from docs_indexer_spark.operators.postings import (
@@ -316,6 +316,10 @@ def build_index(
         "k1": params.k1,
         "b": params.b,
         "positions": positions,
+        # recorded so serving-side calibrations (phrase rarest-lead
+        # pruning) read the REAL postings-per-block of this generation
+        # instead of assuming the builder's compile-time constant
+        "block_size": BLOCK_SIZE,
     }
     catalog.publish(table, gen, fingerprint, metrics)
     # the staged postings/docs and lineage checkpoints served their purpose

@@ -37,8 +37,11 @@ class IndexReader:
         # generation PATH — every subsequent read (blocks, df_stats, doc
         # store, per-query manifest pruning) goes through this path, so a
         # writer republishing mid-lifetime can never mix another
-        # generation's blocks with this reader's pinned idf/term stats
-        self.gen_path = catalog.generation_path("index")
+        # generation's blocks with this reader's pinned idf/term stats.
+        # The path is DERIVED from the meta dict already in hand (one
+        # pointer read): re-reading CURRENT here could pair gen A's meta
+        # with gen B's path if a republish landed between the two reads.
+        self.gen_path = catalog.path_for_generation("index", meta["generation"])
         self.analyzer = meta["metrics"].get("analyzer", "english")
         self.n_docs = int(meta["metrics"]["n_docs"])
         self.blocks = catalog.read_at(spark, self.gen_path, "blocks.parquet")
@@ -56,13 +59,16 @@ class IndexReader:
         term_id range can contain a query term (Iceberg manifest-level
         pruning against the PINNED generation — see __init__; generations
         published before manifests fall back to the full relation — the
-        query's own IN-filter stays correct either way)."""
+        query's own IN-filter stays correct either way).  A corrupt or
+        torn ``_MANIFEST.json`` (json.JSONDecodeError is a ValueError)
+        also falls back to the unpruned — still correct — relation
+        rather than failing the query."""
         try:
             return self.catalog.read_pruned_at(
                 self.spark, self.gen_path, "blocks.parquet", "term_id",
                 [int(t) for t in term_ids],
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
             return self.blocks
 
     def _idf(self, terms: list[str]) -> dict[int, float]:
@@ -255,6 +261,7 @@ class IndexReader:
         return phrase_match_blocks(
             self._blocks_for(term_ids), term_ids, offsets=offsets,
             term_dfs=term_dfs,
+            block_size=self.meta["metrics"].get("block_size"),
         ).orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
 
     def highlight_terms(self, query: str) -> list[str]:

@@ -76,6 +76,13 @@ class SnapshotCatalog:
             return None
         return os.path.join(self._table_dir(table), cur["generation"])
 
+    def path_for_generation(self, table: str, generation: str) -> str:
+        """Path of an EXPLICIT generation name — lets a reader that
+        already holds a generation's meta derive its path without a
+        second CURRENT read (a republish between two pointer reads would
+        otherwise pair one generation's meta with another's path)."""
+        return os.path.join(self._table_dir(table), generation)
+
     # -- write + atomic publish ------------------------------------------
     def stage_generation(self, table: str, fingerprint: str) -> tuple[str, str]:
         """Allocate a new generation dir (named by fingerprint, like the

@@ -8,14 +8,16 @@ lines, blank-line terminator) followed by ``Content-Length`` bytes of
 payload and a trailing CRLF CRLF.  ``response`` records carry an HTTP
 response (status line + headers + body) whose body is the page HTML.
 
-Spark shape: ``spark.read.format("binaryFile")`` lists the archive
-files (one row per file — Common Crawl segments its crawl into ~1 GB
-WARCs, so files are the natural unit of parallelism, exactly how
-cc-pyspark and every CC processing stack shards the crawl), and the
-parser runs as ``mapInPandas`` over the file rows — vectorized batch
-in, record rows out, no driver involvement.  Gzip members
-(``.warc.gz``: each record its own gzip member, per the spec) are
-handled transparently.
+Spark shape: ``spark.read.format("binaryFile")`` ENUMERATES the
+archive files (path column only — content is never materialized; one
+row per file, Common Crawl segments its crawl into ~1 GB WARCs, so
+files are the natural unit of parallelism, exactly how cc-pyspark and
+every CC processing stack shards the crawl), and the parser runs as
+``mapInPandas`` over the file rows, STREAMING each archive record by
+record and yielding bounded-size batches — peak task memory is one
+batch, never one decompressed archive.  Gzip members (``.warc.gz``:
+each record its own gzip member, per the spec) decompress
+incrementally as the parser pulls bytes.
 
 Parsing is dependency-free (stdlib only) and deliberately strict about
 record framing (Content-Length is authoritative) while lenient about
@@ -36,43 +38,38 @@ WARC_SCHEMA = (
 )
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+def parse_warc_stream(stream) -> Iterator[dict]:
     """Yield {'url', 'warc_ts', 'html'} dicts for every ``response``
-    record in one WARC byte stream (plain or gzip; multi-member gzip
-    per the WARC spec).  Non-response records (warcinfo, request,
-    metadata) are skipped.  Framing errors stop the stream rather than
-    resyncing — a truncated archive yields its complete prefix."""
-    if data[:2] == b"\x1f\x8b":
-        # .warc.gz: one gzip member per record; GzipFile reads across
-        # member boundaries transparently
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-    buf = memoryview(data)
-    pos = 0
-    n = len(buf)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and buf[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
-            break
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            break
-        head = bytes(buf[pos:head_end]).decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            break
+    record read INCREMENTALLY from a binary file-like object — one
+    record's header + body resident at a time, never the whole archive
+    (a ~1 GB Common Crawl segment decompresses to ~4-5 GB; buffering it
+    per task is exactly the OOM shape a crawl-scale reader must avoid).
+    Non-response records (warcinfo, request, metadata) are skipped.
+    Framing errors stop the stream rather than resyncing — a truncated
+    archive yields its complete prefix."""
+    while True:
+        # skip inter-record CRLF trailers before the next version line
+        line = stream.readline()
+        while line in (b"\r\n", b"\n"):
+            line = stream.readline()
+        if not line or not line.startswith(b"WARC/"):
+            return
         fields = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(":")
+        while True:
+            ln = stream.readline()
+            if not ln:
+                return  # truncated mid-header
+            if ln in (b"\r\n", b"\n"):
+                break
+            k, _, v = ln.decode("utf-8", "replace").partition(":")
             fields[k.strip().lower()] = v.strip()
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:
-            break
-        body_start = head_end + 4
-        body = bytes(buf[body_start : body_start + length])
-        pos = body_start + length
+            return
+        body = stream.read(length)
+        if len(body) < length:
+            return  # truncated mid-body
         if fields.get("warc-type") == "response":
             html = body
             # payload is an HTTP response: strip its status+headers
@@ -86,38 +83,88 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def _open_warc(raw) -> object:
+    """Wrap a binary stream in transparent multi-member gzip decoding
+    when the magic bytes say so (.warc.gz: one gzip member per record
+    per the spec; GzipFile reads across member boundaries and
+    decompresses INCREMENTALLY as the parser pulls bytes)."""
+    head = raw.peek(2)[:2] if hasattr(raw, "peek") else b""
+    if head == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=raw)
+    return raw
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """In-memory convenience twin of :func:`parse_warc_stream` (plain or
+    gzip bytes) — fixtures and small archives; the Spark path streams."""
+    yield from parse_warc_stream(
+        _open_warc(io.BufferedReader(io.BytesIO(data)))
+    )
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    max_batch_records: int = 1024,
+    max_batch_bytes: int = 32 << 20,
+) -> DataFrame:
     """WARC archive(s) at ``path`` → (url, warc_ts, html, text, lang)
     DataFrame — the engine's canonical input shape; feed straight into
     ``prepare_documents`` / ``build_index``.
+
+    Scale shape: ``binaryFile`` is used ONLY to enumerate files (the
+    projection keeps just ``path``, so Spark never materializes file
+    contents — binaryFile would otherwise buffer whole files and caps
+    them at 2 GiB); each task then opens its file paths directly and
+    STREAMS records through :func:`parse_warc_stream`, yielding a
+    bounded pandas batch every ``max_batch_records`` records or
+    ``max_batch_bytes`` of payload.  Peak memory per task is one batch
+    (~32 MB), not one decompressed archive (~4-5 GB for a Common Crawl
+    segment).  Files are the unit of parallelism — exactly how
+    cc-pyspark and every CC stack shards the crawl (a crawl ships
+    thousands of ~1 GB segments; executors must see the same
+    filesystem/object store, which ``binaryFile``'s content reads
+    require anyway).
 
     ``text`` and ``lang`` are null (extraction is the pipeline's job —
     ``--extract-html`` / prepare_documents); ``warc_ts`` parses the
     record's WARC-Date (ISO-8601 Zulu).
     """
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    files = spark.read.format("binaryFile").load(path).select("path")
 
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
-    )
-
-    def parse(batches):
+    def _flush(rows):
         import pandas as pd
 
+        out = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+        out["warc_ts"] = pd.to_datetime(
+            out["warc_ts"], errors="coerce", utc=True
+        ).dt.tz_localize(None)
+        out["text"] = None
+        out["lang"] = None
+        return out[["url", "warc_ts", "html", "text", "lang"]]
+
+    def parse(batches):
+        from urllib.parse import unquote, urlparse
+
         for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                for rec in parse_warc_bytes(bytes(content)):
-                    rows.append(rec)
-            out = pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html"]
-            )
-            out["warc_ts"] = pd.to_datetime(
-                out["warc_ts"], errors="coerce", utc=True
-            ).dt.tz_localize(None)
-            out["text"] = None
-            out["lang"] = None
-            yield out[["url", "warc_ts", "html", "text", "lang"]]
+            for uri in pdf["path"]:
+                local = uri
+                if local.startswith("file:"):
+                    local = unquote(urlparse(local).path)
+                rows: list[dict] = []
+                nbytes = 0
+                with open(local, "rb") as raw:
+                    for rec in parse_warc_stream(_open_warc(raw)):
+                        rows.append(rec)
+                        nbytes += len(rec["html"])
+                        if (
+                            len(rows) >= max_batch_records
+                            or nbytes >= max_batch_bytes
+                        ):
+                            yield _flush(rows)
+                            rows, nbytes = [], 0
+                if rows:
+                    yield _flush(rows)
 
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
 

@@ -74,3 +74,42 @@ def test_read_warc_to_dataframe_and_build(spark, tmp_path):
     hits = reader.search("alpha", k=5).collect()
     assert len(hits) == 1
     reader.close()
+
+
+def test_read_warc_streams_bounded_batches(spark, tmp_path):
+    """The Spark reader must (a) never materialize binaryFile content —
+    only the path column reaches the scan — and (b) emit MANY bounded
+    batches from one archive rather than one archive-sized DataFrame."""
+    from docs_indexer_spark.sources.warc import parse_warc_stream, _open_warc
+
+    # payloads big and high-entropy enough that the compressed archive
+    # spans many gzip read-ahead chunks — otherwise incrementality is
+    # unobservable (the whole file fits in one buffered read)
+    many = [
+        {"url": f"https://ex.com/p{i}", "warc_ts": "2024-03-04T05:06:07Z",
+         "html": (f"<html><body>page {i} ".encode()
+                  + bytes((i * 131 + j * 97) % 251 for j in range(4096))
+                  + b"</body></html>")}
+        for i in range(25)
+    ]
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "big.warc.gz").write_bytes(write_warc(many, compress=True))
+
+    df = read_warc(spark, str(d), max_batch_records=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # path-only projection on binaryFile
+    got = df.collect()
+    assert len(got) == 25
+    assert {r["url"] for r in got} == {r["url"] for r in many}
+
+    # the stream parser itself yields incrementally: pulling the first
+    # record must not consume the rest of the archive
+    import gzip as _gz
+    with open(d / "big.warc.gz", "rb") as raw:
+        stream = _open_warc(raw)
+        it = parse_warc_stream(stream)
+        first = next(it)
+        assert first["url"] == "https://ex.com/p0"
+        assert raw.tell() < (d / "big.warc.gz").stat().st_size
+        assert sum(1 for _ in it) == 24
