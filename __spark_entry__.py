@@ -147,9 +147,17 @@ def _stop_dfs(spark, sf_dir):
     return dfs
 
 
-def _bm25_oracle(term_pred: str, having: str = "") -> str:
-    """BM25 twin parametrized by the term predicate (IN-list, LIKE prefix)
-    and an optional HAVING (boolean-AND semantics)."""
+def _bm25_oracle(term_pred: str, having: str = "", doc_pred: str = "") -> str:
+    """BM25 twin parametrized by the term predicate (IN-list, LIKE
+    prefix), an optional HAVING (boolean-AND semantics), and an optional
+    document predicate (filtered search: idf / avgdl stay CORPUS-wide —
+    OpenSearch bool-filter does not re-weight the query — only the
+    scored candidate set shrinks)."""
+    doc_join = (
+        f"JOIN (SELECT doc_id FROM documents WHERE {doc_pred}) flt USING (doc_id)"
+        if doc_pred
+        else ""
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest({STOKS}) AS term FROM documents
@@ -173,6 +181,7 @@ def _bm25_oracle(term_pred: str, having: str = "") -> str:
       FROM postings p
       JOIN dfs d USING (term)
       JOIN doclens l USING (doc_id)
+      {doc_join}
       CROSS JOIN stats s
       WHERE {term_pred}
       GROUP BY 1
@@ -213,6 +222,45 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
     top = wand_topk(fb.blocks, idf, sorted(idf), k=10)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+FILTER_PRED = "lang = 'en' AND n_chars >= 400"
+
+
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search — BM25 relevance composed with an exact-match /
+    range document filter in ONE query (OpenSearch ``bool: {must: match,
+    filter: [...]}``; the reference's keyword ``type``/``breadcrumb_*``
+    and ``date`` fields exist for this — mappings/hugo.json:9-53).
+
+    Filter-then-score through block-max WAND: the doc predicate pushes
+    down into the doc-table parquet scan, the resulting doc_id set
+    becomes an in-kernel bitset, blocks containing no eligible doc are
+    metadata-pruned before decode (operators/wand.py
+    prune_blocks_by_allowed), and masked WAND keeps every bound a valid
+    upper bound so the top-k is exactly filter-then-score."""
+    import numpy as np
+
+    from docs_indexer_spark.operators.postings import idf_col
+    from docs_indexer_spark.operators.wand import wand_topk
+
+    fb = _fused_cached(spark, sf_dir, "stop", norm_dtype=np.float64)
+    allowed = np.sort(
+        _docs(spark, sf_dir)
+        .filter(F.expr(FILTER_PRED))
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .to_numpy(dtype=np.int64)
+    )
+    idf_rows = (
+        fb.terms.filter(F.col("term").isin(BM25_TERMS))
+        .join(fb.df_stats(), "term_id")
+        .withColumn("idf", idf_col(F.col("df"), fb.n_docs))
+        .collect()
+    )
+    idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
+    top = wand_topk(fb.blocks, idf, sorted(idf), k=10, allowed=allowed)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -1459,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_english_topk": q_bm25_english_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "prefix_search_topk": q_prefix_search_topk,
@@ -1622,6 +1671,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_ORACLE_SQL,
         "bm25_wand_topk": _BM25_ORACLE_SQL,
+        "bm25_filtered_topk": _bm25_oracle(
+            f"p.term IN {_TERMS_SQL}", doc_pred=FILTER_PRED
+        ),
         "bm25_english_topk": _bm25_english_oracle(EN_QUERY),
         "bm25_and_topk": _bm25_oracle(
             f"p.term IN {_TERMS_SQL}",

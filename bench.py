@@ -39,6 +39,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "bm25_topk",
     "bm25_wand_topk",
+    "bm25_filtered_topk",
     "bm25_english_topk",
     "fuzzy_search_topk",
     "more_like_this",

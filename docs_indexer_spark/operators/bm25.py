@@ -91,9 +91,15 @@ def score_from_tokens(
 
 
 def decode_blocks_iter(
-    block_batches: Iterator[pd.DataFrame], idf: Mapping[int, float]
+    block_batches: Iterator[pd.DataFrame],
+    idf: Mapping[int, float],
+    allowed: np.ndarray | None = None,
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: compressed blocks → (doc_id, partial score)."""
+    """mapInPandas kernel: compressed blocks → (doc_id, partial score).
+    ``allowed`` (sorted unique int64) masks decoded postings to a
+    filter set before they ever leave the kernel."""
+    from docs_indexer_spark.operators.wand import _in_sorted
+
     for pdf in block_batches:
         if pdf.empty:
             continue
@@ -107,6 +113,11 @@ def decode_blocks_iter(
                 continue
             ids = delta_decode_doc_ids(ids_bin)
             norms = decode_tf_norms(norms_bin, len(ids)).astype(np.float64)
+            if allowed is not None:
+                keep = _in_sorted(ids, allowed)
+                ids, norms = ids[keep], norms[keep]
+                if not len(ids):
+                    continue
             out_ids.append(ids)
             out_scores.append(norms * w)
         if out_ids:
@@ -124,6 +135,7 @@ def score_from_blocks(
     query_term_ids: Iterable[int],
     k: int = DEFAULT_TOP_K,
     require_all: bool = False,
+    allowed: "np.ndarray | DataFrame | None" = None,
 ) -> DataFrame:
     """Exact BM25 top-k from the compressed block index.
 
@@ -134,17 +146,51 @@ def score_from_blocks(
     ``require_all=True`` = boolean AND: a document has at most one posting
     per term, so the per-doc partial COUNT equals its distinct matched
     terms — compared against the scoring term count, no extra shuffle.
+
+    ``allowed`` restricts scoring to a document filter set (OpenSearch
+    bool-filter semantics), in one of two shapes chosen by the caller's
+    filter cardinality:
+
+    - numpy array of doc_ids (SELECTIVE filter): blocks with no eligible
+      doc are metadata-pruned before decode and decoded postings are
+      masked in-kernel — the filter reaches the scan, no extra shuffle;
+    - DataFrame with a doc_id column (LARGE filter): a distributed
+      LEFT SEMI join on the partials before the aggregate — low
+      selectivity means near-exhaustive scoring anyway, so the doc_id
+      shuffle is the scalable plan and nothing driver-sized exists.
     """
     terms = sorted(set(query_term_ids))
     if not terms:
         return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
-    hit_blocks = blocks.filter(F.col("term_id").isin(terms)).select(
-        "term_id", "doc_ids_bin", "tf_norms_bin"
-    )
+    allowed_arr = None
+    allowed_df = None
+    if allowed is not None:
+        if isinstance(allowed, DataFrame):
+            allowed_df = allowed.select("doc_id")
+        else:
+            allowed_arr = np.unique(np.asarray(allowed, dtype=np.int64))
+            if len(allowed_arr) == 0:
+                return blocks.sparkSession.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+    hit = blocks.filter(F.col("term_id").isin(terms))
+    if allowed_arr is not None:
+        from docs_indexer_spark.operators.wand import prune_blocks_by_allowed
+
+        hit_blocks = prune_blocks_by_allowed(
+            hit.select("term_id", "first_doc_id", "last_doc_id",
+                       "doc_ids_bin", "tf_norms_bin"),
+            allowed_arr,
+        )
+    else:
+        # unfiltered scan stays 3 columns — range metadata never read
+        hit_blocks = hit.select("term_id", "doc_ids_bin", "tf_norms_bin")
     partials = hit_blocks.mapInPandas(
-        lambda it: decode_blocks_iter(it, idf),
+        lambda it: decode_blocks_iter(it, idf, allowed=allowed_arr),
         schema="doc_id long, partial double",
     )
+    if allowed_df is not None:
+        partials = partials.join(allowed_df, "doc_id", "left_semi")
     scored = partials.groupBy("doc_id").agg(
         F.sum("partial").alias("score"),
         F.count(F.lit(1)).alias("_nt"),

@@ -33,15 +33,36 @@ from docs_indexer_spark.operators.compression import (
 _EXHAUSTED = np.iinfo(np.int64).max
 
 
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``values`` in a SORTED unique array —
+    vectorized searchsorted, the numpy filter-bitset primitive."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx == len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[idx] == values
+
+
 class _TermList:
-    """Cursor over one term's blocks within a bucket (doc_id-sorted)."""
+    """Cursor over one term's blocks within a bucket (doc_id-sorted).
+
+    ``allowed`` (sorted unique int64 array or None) is the filter bitset
+    of a FILTERED query: postings outside it are dropped at decode time,
+    so the WAND walk only ever sees eligible documents.  Block metadata
+    (max-scores, ranges) is computed over the unfiltered superset, which
+    keeps every bound a valid UPPER bound — pruning stays exact, it just
+    prunes a little less tightly than a filter-aware index would.
+    """
 
     __slots__ = ("idf", "firsts", "lasts", "maxes", "ids_bins", "norms_bins",
-                 "suffix_max", "bi", "pos", "ids", "scores", "n_blocks")
+                 "suffix_max", "bi", "pos", "ids", "scores", "n_blocks",
+                 "allowed")
 
-    def __init__(self, blocks: pd.DataFrame, idf: float) -> None:
+    def __init__(self, blocks: pd.DataFrame, idf: float,
+                 allowed: np.ndarray | None = None) -> None:
         blocks = blocks.sort_values(["bucket", "block_seq"])
         self.idf = idf
+        self.allowed = allowed
         self.firsts = blocks["first_doc_id"].values.astype(np.int64)
         self.lasts = blocks["last_doc_id"].values.astype(np.int64)
         self.maxes = blocks["max_score"].values.astype(np.float64)
@@ -53,17 +74,30 @@ class _TermList:
         self.bi = 0
         self._load()
 
-    def _load(self) -> None:
-        if self.bi >= self.n_blocks:
-            self.ids = np.array([_EXHAUSTED], dtype=np.int64)
-            self.scores = np.zeros(1)
-            self.pos = 0
-            return
-        self.ids = delta_decode_doc_ids(self.ids_bins[self.bi])
-        self.scores = (
-            decode_tf_norms(self.norms_bins[self.bi], len(self.ids)).astype(np.float64)
+    def _decode(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        ids = delta_decode_doc_ids(self.ids_bins[bi])
+        scores = (
+            decode_tf_norms(self.norms_bins[bi], len(ids)).astype(np.float64)
             * self.idf
         )
+        if self.allowed is not None:
+            keep = _in_sorted(ids, self.allowed)
+            ids, scores = ids[keep], scores[keep]
+        return ids, scores
+
+    def _load(self) -> None:
+        # under a filter a block can decode to zero eligible postings —
+        # keep advancing so cursor invariants (non-empty ids) hold
+        while self.bi < self.n_blocks:
+            ids, scores = self._decode(self.bi)
+            if len(ids):
+                self.ids = ids
+                self.scores = scores
+                self.pos = 0
+                return
+            self.bi += 1
+        self.ids = np.array([_EXHAUSTED], dtype=np.int64)
+        self.scores = np.zeros(1)
         self.pos = 0
 
     @property
@@ -150,14 +184,10 @@ def _drain_exact(lists: list, heap: list, k: int) -> None:
         ids_parts.append(lst.ids[lst.pos:])
         sc_parts.append(lst.scores[lst.pos:])
         for bi in range(lst.bi + 1, lst.n_blocks):
-            ids = delta_decode_doc_ids(lst.ids_bins[bi])
-            ids_parts.append(ids)
-            sc_parts.append(
-                decode_tf_norms(lst.norms_bins[bi], len(ids)).astype(
-                    np.float64
-                )
-                * lst.idf
-            )
+            ids, scores = lst._decode(bi)  # applies the filter bitset
+            if len(ids):
+                ids_parts.append(ids)
+                sc_parts.append(scores)
         lst.bi = lst.n_blocks
         lst._load()
     if not ids_parts:
@@ -188,11 +218,13 @@ def wand_topk_lists(
     term_blocks: dict,
     idf: Mapping,
     k: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Run block-max WAND over per-term block tables; returns
-    [(doc_id, score)] sorted by (score desc, doc_id asc)."""
+    [(doc_id, score)] sorted by (score desc, doc_id asc).  ``allowed``
+    (sorted unique doc_ids) restricts scoring to a filter set."""
     lists = [
-        _TermList(blocks, idf[t])
+        _TermList(blocks, idf[t], allowed=allowed)
         for t, blocks in term_blocks.items()
         if idf.get(t) and len(blocks)
     ]
@@ -279,25 +311,61 @@ def wand_topk_lists(
     return out
 
 
+def prune_blocks_by_allowed(
+    hit: DataFrame, allowed: np.ndarray
+) -> DataFrame:
+    """Drop blocks whose [first_doc_id, last_doc_id] range contains NO
+    allowed doc — vectorized searchsorted over block METADATA, no
+    decode (the same containment primitive as phrase rarest-lead
+    pruning).  With a selective filter most of a head term's blocks
+    disappear before any decompression happens."""
+
+    def _keep(pdfs):
+        for pdf in pdfs:
+            lo = np.searchsorted(allowed, pdf["first_doc_id"].values, "left")
+            hi = np.searchsorted(allowed, pdf["last_doc_id"].values, "right")
+            yield pdf[hi > lo]
+
+    return hit.mapInPandas(_keep, schema=hit.schema)
+
+
 def wand_topk(
     blocks: DataFrame,
     idf: Mapping[int, float],
     query_term_ids: Iterable[int],
     k: int = DEFAULT_TOP_K,
+    allowed: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed block-max WAND: per-bucket WAND (exact within the
-    bucket's doc range) → global TakeOrderedAndProject(k)."""
+    bucket's doc range) → global TakeOrderedAndProject(k).
+
+    ``allowed`` (int64 doc_ids, any order; deduped/sorted here) runs
+    the query FILTERED — OpenSearch's bool {must: match, filter: ...}
+    shape: blocks with no eligible doc are pruned by metadata before
+    decode, and decoded postings are masked by the filter bitset, so
+    only eligible documents can enter the heap.  Exactness argument in
+    :class:`_TermList`.  The array ships to executors in the task
+    closure — the caller (IndexReader.search) bounds its size and
+    routes larger filters through the exact scorer's semi-join."""
     terms = sorted(set(query_term_ids))
     if not terms:
         return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
+    if allowed is not None:
+        allowed = np.unique(np.asarray(allowed, dtype=np.int64))
+        if len(allowed) == 0:
+            return blocks.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
     hit = blocks.filter(F.col("term_id").isin(terms)).select(
         "term_id", "bucket", "block_seq", "first_doc_id", "last_doc_id",
         "max_score", "doc_ids_bin", "tf_norms_bin",
     )
+    if allowed is not None:
+        hit = prune_blocks_by_allowed(hit, allowed)
 
     def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = {int(t): g for t, g in pdf.groupby("term_id")}
-        top = wand_topk_lists(groups, idf, k)
+        top = wand_topk_lists(groups, idf, k, allowed=allowed)
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )

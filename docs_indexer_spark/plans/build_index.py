@@ -172,8 +172,13 @@ def build_index(
                 raw_slice.withColumn("doc_id", F.col(id_col))
                 if id_col != "doc_id"
                 else raw_slice
-            ).select("doc_id", "text")
-            doc_cols = ["doc_id"]
+            )
+            # the doc store carries every non-payload column (keyword /
+            # date / numeric facets) so filtered search — bool {must,
+            # filter} — evaluates predicates against the SNAPSHOT the
+            # index was built from, not a mutable external table
+            doc_cols = [c for c in part.columns if c not in ("text", "html")]
+            part = part.select(*doc_cols, "text")
         else:
             part = with_rendering_fields(
                 prepare_documents(raw_slice, use_extraction=use_extraction)
@@ -301,8 +306,9 @@ def build_index(
         f"{gen_path}/deletions.parquet"
     )
     doclens.coalesce(8).write.mode("overwrite").parquet(f"{gen_path}/doclens.parquet")
-    if not id_col:
-        docs_store.write.mode("overwrite").parquet(f"{gen_path}/docs.parquet")
+    # published in BOTH id modes: serving-side filtered search and
+    # rendering joins must read generation-pinned doc rows
+    docs_store.write.mode("overwrite").parquet(f"{gen_path}/docs.parquet")
     t_stage2 = time.time() - t1
 
     metrics = {

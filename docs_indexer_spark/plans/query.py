@@ -84,31 +84,90 @@ class IndexReader:
             for r in rows
         }
 
+    def docs_store(self) -> DataFrame:
+        """The pinned generation's document store (rendering + keyword/
+        date fields) — the relation ``where`` filters evaluate against."""
+        return self.catalog.read_at(self.spark, self.gen_path, "docs.parquet")
+
+    def _resolve_filter(
+        self, where, max_driver_docs: int
+    ):
+        """Evaluate a search filter against the pinned doc store.
+
+        Returns ``(allowed_array, allowed_df)`` — exactly one non-None —
+        or ``(None, None)`` for no filter.  The predicate (a Column or a
+        SQL string) is PUSHED DOWN into the doc-store parquet scan
+        (keyword/date fields are plain columns, so min/max row-group
+        pruning applies).  A selective filter (≤ ``max_driver_docs``
+        hits) collects to a sorted doc_id array the scorers use as an
+        in-kernel bitset — the OpenSearch filter-context shape; a broad
+        filter stays a distributed relation for a semi-join, since low
+        selectivity means near-exhaustive scoring anyway."""
+        if where is None:
+            return None, None
+        import numpy as np
+
+        pred = F.expr(where) if isinstance(where, str) else where
+        sel = self.docs_store().filter(pred).select("doc_id")
+        cnt = sel.count()
+        if cnt <= max_driver_docs:
+            arr = np.sort(
+                sel.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+            )
+            return arr, None
+        return None, sel
+
     def search(
         self,
         query: str,
         k: int = DEFAULT_TOP_K,
         exact: bool = False,
         operator: str = "or",
+        where=None,
+        max_driver_filter_docs: int = 500_000,
     ) -> DataFrame:
         """``operator="and"`` = OpenSearch operator:and (every query term
         must match) — routed through the exact scorer, whose per-doc
         partial count gives the AND filter for free; WAND's upper-bound
-        pruning is an OR-semantics optimization."""
+        pruning is an OR-semantics optimization.
+
+        ``where`` composes an exact-match / range filter over the doc
+        store's keyword and date fields WITH relevance scoring — the
+        OpenSearch ``bool: {must: match, filter: [...]}`` request shape
+        (the reference's keyword ``type``/``breadcrumb_*`` and ``date``
+        fields exist precisely for this: mappings/hugo.json:9-53).  A
+        Column or SQL string, e.g. ``"source = 'web' AND n_chars >= 500"``.
+        Filtered docs can never enter the top-k (filter-then-score, not
+        post-filter): selective filters become an in-kernel bitset with
+        metadata block pruning, broad filters a distributed semi-join —
+        see :meth:`_resolve_filter`."""
         terms = analyze_text(query, self.analyzer)
         idf = self._idf(sorted(set(terms)))
         ids = sorted(idf)
         blocks = self._blocks_for(ids)
+        allowed_arr, allowed_df = self._resolve_filter(
+            where, max_driver_filter_docs
+        )
         if operator == "and":
             if len(ids) < len(set(terms)):
                 # a term absent from the index can never AND-match
                 return self.spark.createDataFrame([], "doc_id long, score double")
             return bm25.score_from_blocks(
-                blocks, idf, ids, k=k, require_all=True
+                blocks, idf, ids, k=k, require_all=True,
+                allowed=allowed_arr if allowed_arr is not None else allowed_df,
+            )
+        if allowed_df is not None:
+            # broad filter: exhaustive scoring + semi-join beats WAND
+            # (upper-bound pruning buys little when most docs are
+            # eligible, and the filter relation must stay distributed)
+            return bm25.score_from_blocks(
+                blocks, idf, ids, k=k, allowed=allowed_df
             )
         if exact:
-            return bm25.score_from_blocks(blocks, idf, ids, k=k)
-        return wand.wand_topk(blocks, idf, ids, k=k)
+            return bm25.score_from_blocks(
+                blocks, idf, ids, k=k, allowed=allowed_arr
+            )
+        return wand.wand_topk(blocks, idf, ids, k=k, allowed=allowed_arr)
 
     def search_prefix(
         self,
@@ -366,9 +425,11 @@ class IndexReader:
             .limit(k)
         )
 
-    def search_with_docs(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
-        top = self.search(query, k=k)
-        docs = self.catalog.read_at(self.spark, self.gen_path, "docs.parquet")
+    def search_with_docs(
+        self, query: str, k: int = DEFAULT_TOP_K, where=None
+    ) -> DataFrame:
+        top = self.search(query, k=k, where=where)
+        docs = self.docs_store()
         return top.join(docs, "doc_id", "left").orderBy(
             F.desc("score"), F.asc("doc_id")
         )

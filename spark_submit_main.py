@@ -63,6 +63,10 @@ def main() -> None:
                    help="boolean semantics across query terms")
     q.add_argument("--prefix", action="store_true",
                    help="treat --q as a term prefix (vocabulary expansion)")
+    q.add_argument("--where", default=None, metavar="SQL",
+                   help="doc-store filter composed WITH scoring "
+                        "(filter-then-score), e.g. \"source = 'web' "
+                        "AND n_chars >= 500\"")
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy match: expand each term over the vocabulary "
                         "within N edits (OpenSearch fuzziness)")
@@ -139,7 +143,7 @@ def main() -> None:
             hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         else:
             rows = reader.search(args.q, k=args.k, exact=args.exact,
-                                 operator=args.op).collect()
+                                 operator=args.op, where=args.where).collect()
             hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         out = {
             "query": args.q,

@@ -1,0 +1,183 @@
+"""Filtered search composed with BM25 scoring — the OpenSearch
+``bool: {must: match, filter: [...]}`` request shape (the reference's
+keyword ``type``/``breadcrumb_*`` fields and ``date`` exist for exactly
+this: /root/reference/mappings/hugo.json:9-53).
+
+The pinned invariant everywhere: filter-then-score.  A filtered top-k
+must equal "score the ENTIRE corpus exactly, drop ineligible docs, take
+top-k" — post-filtering a top-k would miss eligible hits and is the bug
+these tests exist to catch.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docs_indexer_spark.operators import bm25, wand
+from docs_indexer_spark.operators.fused import fused_build_blocks
+from docs_indexer_spark.operators.postings import idf_col
+
+from tests.conftest import rank_identical
+
+TERMS = ["spark", "join", "window"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+
+
+@pytest.fixture(scope="module")
+def fused(corpus):
+    fb = fused_build_blocks(
+        corpus, analyzer="stop", n_buckets=4, norm_dtype=np.float64
+    )
+    fb.blocks = fb.blocks.persist()
+    return fb
+
+
+def _idf_map(fb, terms):
+    rows = (
+        fb.terms.filter(F.col("term").isin(terms))
+        .join(fb.df_stats(), "term_id")
+        .withColumn("idf", idf_col(F.col("df"), fb.n_docs))
+        .collect()
+    )
+    return {int(r["term_id"]): float(r["idf"]) for r in rows}
+
+
+def _reference_filtered_topk(fb, idf, allowed_set, k=10):
+    """Ground truth: exact unfiltered scoring of the whole corpus, then a
+    Python-side filter, then the pinned (score desc, doc_id asc) top-k."""
+    full = bm25.score_from_blocks(
+        fb.blocks, idf, sorted(idf), k=100_000
+    ).collect()
+    kept = [
+        (r["doc_id"], r["score"]) for r in full if r["doc_id"] in allowed_set
+    ]
+    kept.sort(key=lambda x: (-x[1], x[0]))
+    return kept[:k]
+
+
+@pytest.fixture(scope="module")
+def allowed(corpus):
+    rows = (
+        corpus.filter((F.col("lang") == "en") & (F.col("n_chars") >= 400))
+        .select("doc_id")
+        .collect()
+    )
+    ids = sorted(r["doc_id"] for r in rows)
+    assert 0 < len(ids) < corpus.count(), "filter must be non-trivial"
+    return ids
+
+
+def test_filtered_wand_equals_filter_then_score(fused, allowed):
+    idf = _idf_map(fused, TERMS)
+    expected = _reference_filtered_topk(fused, idf, set(allowed), k=10)
+    got = wand.wand_topk(
+        fused.blocks, idf, sorted(idf), k=10,
+        allowed=np.array(allowed, dtype=np.int64),
+    ).collect()
+    rank_identical(expected, [(r["doc_id"], r["score"]) for r in got])
+
+
+def test_filtered_exact_blocks_array_and_df_paths_agree(spark, fused, allowed):
+    idf = _idf_map(fused, TERMS)
+    expected = _reference_filtered_topk(fused, idf, set(allowed), k=10)
+    via_arr = bm25.score_from_blocks(
+        fused.blocks, idf, sorted(idf), k=10,
+        allowed=np.array(allowed, dtype=np.int64),
+    ).collect()
+    allowed_df = spark.createDataFrame(
+        [(int(d),) for d in allowed], "doc_id long"
+    )
+    via_df = bm25.score_from_blocks(
+        fused.blocks, idf, sorted(idf), k=10, allowed=allowed_df
+    ).collect()
+    rank_identical(expected, [(r["doc_id"], r["score"]) for r in via_arr])
+    rank_identical(expected, [(r["doc_id"], r["score"]) for r in via_df])
+
+
+def test_filtered_require_all(fused, allowed):
+    """AND semantics + filter: every returned doc contains every term AND
+    passes the filter; scores match the unfiltered AND run."""
+    idf = _idf_map(fused, TERMS)
+    unfiltered = {
+        r["doc_id"]: r["score"]
+        for r in bm25.score_from_blocks(
+            fused.blocks, idf, sorted(idf), k=100_000, require_all=True
+        ).collect()
+    }
+    got = bm25.score_from_blocks(
+        fused.blocks, idf, sorted(idf), k=10, require_all=True,
+        allowed=np.array(allowed, dtype=np.int64),
+    ).collect()
+    expected = sorted(
+        ((d, s) for d, s in unfiltered.items() if d in set(allowed)),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    rank_identical(expected, [(r["doc_id"], r["score"]) for r in got])
+
+
+def test_empty_filter_returns_empty(fused):
+    idf = _idf_map(fused, TERMS)
+    assert wand.wand_topk(
+        fused.blocks, idf, sorted(idf), k=10,
+        allowed=np.array([], dtype=np.int64),
+    ).count() == 0
+    assert bm25.score_from_blocks(
+        fused.blocks, idf, sorted(idf), k=10,
+        allowed=np.array([], dtype=np.int64),
+    ).count() == 0
+
+
+def test_block_metadata_pruning_drops_blocks(fused, allowed):
+    """A one-doc filter must prune almost every block before decode."""
+    one = np.array(allowed[:1], dtype=np.int64)
+    idf = _idf_map(fused, TERMS)
+    hit = fused.blocks.filter(
+        F.col("term_id").isin(sorted(idf))
+    ).select("term_id", "first_doc_id", "last_doc_id",
+             "doc_ids_bin", "tf_norms_bin")
+    total = hit.count()
+    kept = wand.prune_blocks_by_allowed(hit, one).count()
+    assert kept < total
+
+
+def test_index_reader_search_where_end_to_end(spark, corpus, tmp_path):
+    """Full serving path: build+publish via the catalog, then
+    IndexReader.search(where=...) in all three routes (WAND bitset,
+    exact bitset, distributed semi-join) against filter-then-score."""
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    docs = corpus.filter(F.col("doc_id") % 3 == 0)
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    build_index(spark, docs, cat, fingerprint="f1", n_build_partitions=2,
+                analyzer="stop", id_col="doc_id")
+    reader = IndexReader(spark, cat)
+    where = "lang = 'en' AND n_chars >= 400"
+    allowed_set = {
+        r["doc_id"] for r in docs.filter(F.expr(where)).select("doc_id").collect()
+    }
+    q = " ".join(TERMS)
+    full = reader.search(q, k=100_000, exact=True).collect()
+    expected = sorted(
+        ((r["doc_id"], r["score"]) for r in full if r["doc_id"] in allowed_set),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    for kwargs in (
+        {},                                   # WAND + bitset
+        {"exact": True},                      # exact + bitset
+        {"max_driver_filter_docs": 0},        # force distributed semi-join
+    ):
+        got = reader.search(q, k=10, where=where, **kwargs).collect()
+        rank_identical(expected, [(r["doc_id"], r["score"]) for r in got])
+    # unindexed-filter sanity: a filter matching nothing yields no hits
+    assert reader.search(q, k=10, where="n_chars < 0").count() == 0
+    reader.close()
