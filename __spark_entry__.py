@@ -1201,6 +1201,67 @@ _DEDUP_COMPONENTS_ORACLE_SQL = f"""
 """
 
 
+SUBSTR_L = 8
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr, the
+    other standard training-data dedup axis next to doc-level): maximal
+    duplicated token spans of length ≥ 8 across the whole corpus, via
+    distributed L-gram window algebra (operators/dedup.py
+    duplicate_substring_spans).  md5 hash family = SQL-parity plane."""
+    from docs_indexer_spark.operators.dedup import duplicate_substring_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_substring_spans(
+        docs, l=SUBSTR_L, hash="md5"
+    ).orderBy("doc_id", "span_start")
+
+
+_SUBSTR_ORACLE_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS} AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(('0x' || substr(md5(
+               array_to_string(t[i:i+{SUBSTR_L - 1}], ' ')
+             ), 1, 8)) AS BIGINT) AS hv
+      FROM d, unnest(range(1, len(t) - {SUBSTR_L} + 2)) r(i)
+      WHERE len(t) >= {SUBSTR_L}
+    ),
+    dup AS (
+      SELECT w.doc_id, w.pos
+      FROM w JOIN (
+        SELECT hv FROM w GROUP BY hv HAVING count(*) > 1
+      ) s USING (hv)
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             max(pos + {SUBSTR_L}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM dup
+    ),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos >= prev_end
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM b
+    )
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {SUBSTR_L} AS INT) AS span_end,
+           CAST(count(*) AS INT) AS n_windows
+    FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING — the step between pair discovery and actual
     deduplication: connected components over the winnowing candidate-pair
@@ -1539,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "substring_dup_spans": q_substring_dup_spans,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2008,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash_near_dups": _simhash_oracle(max_hamming=3),
         "winnow_fingerprints": _WINNOW_ORACLE_SQL,
+        "substring_dup_spans": _SUBSTR_ORACLE_SQL,
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_near_dups",
     "winnow_fingerprints",
+    "substring_dup_spans",
     "dedup_components",
     "phrase_match",
     "phrase_match_blocks",

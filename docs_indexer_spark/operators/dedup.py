@@ -734,3 +734,90 @@ def dedup_representatives(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    l: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xx",
+    keep_first: bool = False,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows) — maximal duplicated
+    token spans of length ≥ ``l``, the substring-level exact-dedup axis
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr) re-expressed as distributed L-gram
+    window algebra instead of a monolithic suffix array:
+
+    1. every length-``l`` token window → (doc_id, pos, window hash);
+    2. a window is DUPLICATED iff its gram occurs more than once in the
+       whole corpus (within- or cross-document, as in the paper);
+    3. per document, overlapping duplicated windows merge into maximal
+       spans (gaps-and-islands over pos; ``span_end`` is exclusive,
+       token units).
+
+    EXACTNESS at window granularity: a duplicated substring of m ≥ l
+    tokens contributes its m−l+1 (mutually overlapping) windows, whose
+    union reconstructs the span; conversely every duplicated window
+    lies inside a duplicated substring — so the island cover equals the
+    maximal-duplicated-span cover.  What the suffix array adds is
+    CHARACTER-level boundaries; token granularity is the standard
+    practical relaxation.
+
+    ``keep_first=True`` = the paper's remove-all-but-one policy: the
+    globally first occurrence of each gram (min (doc_id, pos)) is not
+    counted as removable, so spans cover only text that would be CUT.
+
+    Scale shape: one gram-hash aggregate (map-side combine) + one
+    equi-join back on the hash + one per-document window — no driver
+    state, no all-pairs anything.  ``hash="md5"`` is the SQL-parity
+    family (`_h32`); production ``"xx"`` is one xxhash64 per window.
+    """
+    from docs_indexer_spark.functions.analysis import tokens_col
+    from docs_indexer_spark.session import spread
+    from pyspark.sql.window import Window
+
+    # F.xxhash64 is *cols-variadic — wrap to unary for HOF dispatch
+    hfn = _h32 if hash == "md5" else (lambda s: F.xxhash64(s))
+    toks_df = (
+        spread(docs)
+        .select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= l)
+    )
+    grams = toks_df.select(
+        id_col, shingles_from_tokens(F.col("_toks"), l).alias("_g")
+    )
+    wins = grams.select(
+        F.col(id_col),
+        F.posexplode(F.transform("_g", hfn)).alias("pos", "hv"),
+    )
+    stats = wins.groupBy("hv").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    ).filter(F.col("_n") > 1)
+    dup = wins.join(stats, "hv")
+    if keep_first:
+        dup = dup.filter(
+            (F.col(id_col) != F.col("_first")[id_col])
+            | (F.col("pos") != F.col("_first")["pos"])
+        )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + l).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.select(id_col, "pos").withColumn(
+        "_brk",
+        F.when(prev_end.isNull() | (F.col("pos") >= prev_end), 1).otherwise(0),
+    )
+    island = F.sum("_brk").over(w)
+    return (
+        marked.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + l).alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .drop("_isl")
+    )

@@ -645,3 +645,66 @@ def test_connected_components_star_equivalence_and_long_chain(spark):
         algorithm="star",
     ).collect()}
     assert kept == {1, 10, 99}
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (Lee et al. 2022 ExactSubstr, window algebra)
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, rows, l=4, **kw):
+    from docs_indexer_spark.operators.dedup import duplicate_substring_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_substring_spans(df, l=l, **kw).collect()
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in got
+    )
+
+
+def test_substring_spans_cross_doc_exact_boundaries(spark):
+    """A 6-token run shared by two docs (l=4) must produce exactly one
+    span per doc covering exactly the run — token-exact boundaries."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} four five six"),
+    ]
+    # doc 1: run at tokens [2, 8); windows at pos 2,3,4 → 3 windows
+    # doc 2: run at tokens [0, 6); windows at pos 0,1,2
+    assert _spans(spark, rows) == [
+        (1, 2, 8, 3),
+        (2, 0, 6, 3),
+    ]
+
+
+def test_substring_spans_within_doc_and_keep_first(spark):
+    """Within-document repetition counts (as in the paper); keep_first
+    leaves the globally-first occurrence uncovered."""
+    phrase = "red orange yellow green"
+    rows = [(7, f"{phrase} blue indigo {phrase}")]
+    # tokens: phrase at [0,4) and [6,10); l=4 → one window each
+    assert _spans(spark, rows) == [(7, 0, 4, 1), (7, 6, 10, 1)]
+    assert _spans(spark, rows, keep_first=True) == [(7, 6, 10, 1)]
+
+
+def test_substring_spans_merge_overlapping_windows(spark):
+    """An 8-token duplicated run yields 5 overlapping l=4 windows that
+    must merge into ONE maximal span, not five."""
+    run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    rows = [(1, f"x {run}"), (2, f"{run} y")]
+    assert _spans(spark, rows) == [(1, 1, 9, 5), (2, 0, 8, 5)]
+
+
+def test_substring_spans_no_duplicates_empty(spark):
+    rows = [(1, "p q r s t"), (2, "u v w x y")]
+    assert _spans(spark, rows) == []
+
+
+def test_substring_spans_hash_families_agree(spark):
+    rows = [
+        (1, "m1 m2 m3 m4 m5 tail1 tail2"),
+        (2, "head m1 m2 m3 m4 m5"),
+    ]
+    assert _spans(spark, rows, hash="xx") == _spans(spark, rows, hash="md5")
