@@ -1445,6 +1445,63 @@ def q_highlight_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAG_SIZE, FRAG_N = 60, 3
+
+
+def q_highlight_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-fragment highlighting (OpenSearch plain highlighter with
+    number_of_fragments + order:score): fixed-size fragments scored by
+    match density, best 3 per doc — all native HOF algebra
+    (functions/highlight.py fragments_col)."""
+    from docs_indexer_spark.functions.highlight import fragments_col
+
+    terms = ["spark", "join"]
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    frs = fragments_col(
+        "text", terms, fragment_size=FRAG_SIZE, num_fragments=FRAG_N
+    )
+    return (
+        docs.select("doc_id", F.explode(frs).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.n_matches").alias("n_matches"),
+            F.col("f.frag_idx").alias("frag_idx"),
+            F.col("f.fragment").alias("fragment"),
+        )
+        .orderBy("doc_id", "frag_idx")
+    )
+
+
+def _fragments_oracle() -> str:
+    alt = "spark|join"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 40
+        ),
+        f AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS frag_idx,
+                 substring(text, CAST((i-1)*{FRAG_SIZE}+1 AS BIGINT),
+                           {FRAG_SIZE}) AS fragment
+          FROM d, unnest(range(1,
+            CAST(ceil(length(text)/{FRAG_SIZE}.0) AS BIGINT) + 1)) r(i)
+        ),
+        m AS (
+          SELECT doc_id, frag_idx, fragment,
+                 CAST(len(regexp_extract_all(fragment,
+                   '(?i)\\b({alt})\\b')) AS INT) AS n_matches
+          FROM f
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY n_matches DESC, frag_idx
+          ) AS rn
+          FROM m WHERE n_matches > 0
+        )
+        SELECT doc_id, n_matches, frag_idx, fragment
+        FROM rk WHERE rn <= {FRAG_N} ORDER BY doc_id, frag_idx
+    """
+
+
 def _highlight_oracle() -> str:
     alt = "spark|join"
     return f"""
@@ -1610,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_bigrams": q_suggest_bigrams,
         "suggest_correction": q_suggest_correction,
         "highlight_snippets": q_highlight_snippets,
+        "highlight_fragments": q_highlight_fragments,
         "minhash_sigs": q_minhash_sigs,
         "embedding_pair_cosine": q_embedding_pair_cosine,
     }
@@ -2077,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_correction": _suggest_oracle(*MISSPELLED.split()),
         "ann_lsh_neighbors": _ann_lsh_oracle(),
         "highlight_snippets": _highlight_oracle(),
+        "highlight_fragments": _fragments_oracle(),
         "ann_ivf_topk": _ivf_oracle_sql(
             _similarity_mod().ivf_centroids(ANN_DIM, IVF_N, IVF_SEED),
             _np().ones(ANN_DIM),

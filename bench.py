@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "ann_ivf_trained",
     "embedding_near_dups",
     "highlight_snippets",
+    "highlight_fragments",
 ]
 
 

@@ -45,3 +45,63 @@ def snippet_col(text_col, terms: list[str], width: int = 40):
         + r")\b.{0," + str(width) + r"})"
     )
     return F.regexp_extract(text_col, pat, 1)
+
+
+def fragments_col(
+    text_col,
+    terms: list[str],
+    fragment_size: int = 100,
+    num_fragments: int = 5,
+):
+    """Up to ``num_fragments`` matching fragments ranked by MATCH DENSITY
+    — the OpenSearch plain highlighter's multi-fragment semantics
+    (SimpleFragmenter cuts ``fragment_size``-char fragments, each scored
+    by its term-match count, best N returned; ``order: score``).
+
+    Returns ``array<struct<n_matches int, frag_idx int, fragment
+    string>>``, best-first (ties broken by text order).  100% native HOF
+    algebra — chunk via transform+substring, score via
+    regexp_extract_all, rank via array_sort's natural struct ordering on
+    (-n, idx) — so the plan stays JVM-side and the DuckDB twin is the
+    same expressions.
+    """
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    if not terms:
+        return F.array().cast(
+            "array<struct<n_matches:int,frag_idx:int,fragment:string>>"
+        )
+    pat = _pattern(terms)
+    size = int(fragment_size)
+    n_frags = F.ceil(F.length(txt) / F.lit(size)).cast("int")
+
+    def _frag(i):
+        piece = F.substring(txt, i * size + 1, size)
+        return F.struct(
+            (-F.size(F.regexp_extract_all(piece, F.lit(pat), 0)))
+            .cast("int")
+            .alias("_neg"),
+            i.cast("int").alias("frag_idx"),
+            piece.alias("fragment"),
+        )
+
+    frags = F.when(
+        n_frags > 0,
+        F.transform(F.sequence(F.lit(0), n_frags - 1), _frag),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<_neg:int,frag_idx:int,fragment:string>>"
+        )
+    )
+    top = F.slice(
+        F.array_sort(F.filter(frags, lambda s: s["_neg"] < 0)),
+        1,
+        num_fragments,
+    )
+    return F.transform(
+        top,
+        lambda s: F.struct(
+            (-s["_neg"]).alias("n_matches"),
+            s["frag_idx"].alias("frag_idx"),
+            s["fragment"].alias("fragment"),
+        ),
+    )

@@ -472,3 +472,50 @@ class IndexReader:
                 snippet_col(text_col, terms, width=width), terms
             ).alias("snippet_html"),
         ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def search_with_fragments(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = DEFAULT_TOP_K,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        fragment_size: int = 100,
+        num_fragments: int = 5,
+        where=None,
+    ) -> DataFrame:
+        """Top-k + MULTI-fragment highlighting — the full OpenSearch
+        plain-highlighter contract (``number_of_fragments``, default 5,
+        ``order: score``): each hit carries up to ``num_fragments``
+        highlighted fragments ranked by match density, not just the
+        first match window.  Stem expansion as in
+        :meth:`search_with_snippets`; composable with a ``where``
+        filter."""
+        from docs_indexer_spark.functions.highlight import fragments_col
+
+        terms = self.highlight_terms(query)
+        top = self.search(query, k=k, where=where)
+        joined = top.join(
+            docs.select(F.col(id_col).alias("doc_id"), text_col),
+            "doc_id",
+            "left",
+        )
+        frs = fragments_col(
+            text_col, terms,
+            fragment_size=fragment_size, num_fragments=num_fragments,
+        )
+        pat = None
+        if terms:
+            from docs_indexer_spark.functions.highlight import _pattern
+
+            pat = _pattern(terms)
+        return joined.select(
+            "doc_id",
+            "score",
+            F.transform(
+                frs,
+                lambda s: F.regexp_replace(
+                    s["fragment"], F.lit(pat), "<em>$1</em>"
+                ) if pat else s["fragment"],
+            ).alias("fragments"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))

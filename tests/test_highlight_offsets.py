@@ -88,3 +88,62 @@ def test_surface_dictionary_equals_index_time_offsets(spark, published, query):
 def test_stopword_only_query_highlights_nothing(spark, published):
     docs, reader = published
     assert reader.highlight_terms("the a of") == []
+
+
+def test_fragments_col_density_ranked_and_capped(spark):
+    """Multi-fragment highlighting: fragments are fixed-size chunks,
+    scored by match count, best-N returned, ties broken by text order."""
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.functions.highlight import fragments_col
+
+    #        frag0 (0-19): 2 matches   frag1 (20-39): 0   frag2 (40+): 1
+    text = "cat dog cat xxxxxxxx" + "y" * 20 + "zz cat zz"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = df.select(
+        F.explode(
+            fragments_col("text", ["cat"], fragment_size=20, num_fragments=2)
+        ).alias("f")
+    ).select("f.*").collect()
+    got = [(r["n_matches"], r["frag_idx"]) for r in rows]
+    assert got == [(2, 0), (1, 2)]  # best-first, zero-match frag dropped
+
+    # num_fragments caps; empty text and no-terms degenerate cleanly
+    one = df.select(
+        F.size(
+            fragments_col("text", ["cat"], fragment_size=20, num_fragments=1)
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert one == 1
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert empty.select(
+        F.size(fragments_col("text", ["cat"])).alias("n")
+    ).collect()[0]["n"] == 0
+
+
+def test_search_with_fragments_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark " + "pad " * 40 + "spark window join"),
+            (2, "nothing relevant here at all " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    build_index(spark, docs, cat, fingerprint="hf", n_build_partitions=1,
+                analyzer="stop", id_col="doc_id")
+    reader = IndexReader(spark, cat)
+    rows = reader.search_with_fragments(
+        "spark join", docs, k=5, fragment_size=40, num_fragments=2
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    frags = rows[0]["fragments"]
+    assert 1 <= len(frags) <= 2
+    assert any("<em>spark</em>" in f for f in frags)
+    reader.close()
