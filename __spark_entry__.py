@@ -1267,9 +1267,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplication: connected components over the winnowing candidate-pair
     graph via min-label propagation (component = min reachable doc_id,
     the canonical keep-one representative).  The DuckDB twin computes the
-    transitive closure with a recursive CTE."""
+    transitive closure with a recursive CTE.
+
+    Routed through the large/small-star variant (Kiveris et al. 2014):
+    output-identical to min-label propagation (pinned by
+    tests/test_dedup_similarity.py) but O(log² n) rounds on ANY graph
+    shape — and measurably fewer Spark jobs per round on the gate/bench
+    graph (the r4 bench's slowest row was the propagation loop)."""
     from docs_indexer_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         winnow_candidate_pairs,
         winnow_fingerprints,
     )
@@ -1277,7 +1283,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
     fps = winnow_fingerprints(docs, k=3, window=4, hash="md5")
     pairs = winnow_candidate_pairs(fps).select("doc_a", "doc_b")
-    return connected_components(pairs).orderBy("node")
+    return connected_components_star(pairs).orderBy("node")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

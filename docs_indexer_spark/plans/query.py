@@ -125,6 +125,7 @@ class IndexReader:
         operator: str = "or",
         where=None,
         max_driver_filter_docs: int = 500_000,
+        split: int = 1,
     ) -> DataFrame:
         """``operator="and"`` = OpenSearch operator:and (every query term
         must match) — routed through the exact scorer, whose per-doc
@@ -140,7 +141,12 @@ class IndexReader:
         Filtered docs can never enter the top-k (filter-then-score, not
         post-filter): selective filters become an in-kernel bitset with
         metadata block pruning, broad filters a distributed semi-join —
-        see :meth:`_resolve_filter`."""
+        see :meth:`_resolve_filter`.
+
+        ``split`` > 1 slices each index bucket's doc range into that
+        many independent WAND tasks — serving-side parallelism when the
+        build's bucket count is below the cluster's core count (rank-
+        identical; see wand_topk)."""
         terms = analyze_text(query, self.analyzer)
         idf = self._idf(sorted(set(terms)))
         ids = sorted(idf)
@@ -167,7 +173,9 @@ class IndexReader:
             return bm25.score_from_blocks(
                 blocks, idf, ids, k=k, allowed=allowed_arr
             )
-        return wand.wand_topk(blocks, idf, ids, k=k, allowed=allowed_arr)
+        return wand.wand_topk(
+            blocks, idf, ids, k=k, allowed=allowed_arr, split=split
+        )
 
     def search_prefix(
         self,

@@ -181,3 +181,30 @@ def test_index_reader_search_where_end_to_end(spark, corpus, tmp_path):
     # unindexed-filter sanity: a filter matching nothing yields no hits
     assert reader.search(q, k=10, where="n_chars < 0").count() == 0
     reader.close()
+
+
+@pytest.mark.parametrize("split", [2, 4, 7])
+def test_wand_split_rank_identical(fused, allowed, split):
+    """Bucket sub-splitting is a parallelism knob, never a semantics one:
+    split-S WAND must equal split-1 WAND exactly, with and without a
+    filter bitset."""
+    idf = _idf_map(fused, TERMS)
+    base = wand.wand_topk(fused.blocks, idf, sorted(idf), k=10).collect()
+    got = wand.wand_topk(
+        fused.blocks, idf, sorted(idf), k=10, split=split
+    ).collect()
+    rank_identical(
+        [(r["doc_id"], r["score"]) for r in base],
+        [(r["doc_id"], r["score"]) for r in got],
+    )
+    arr = np.array(allowed, dtype=np.int64)
+    base_f = wand.wand_topk(
+        fused.blocks, idf, sorted(idf), k=10, allowed=arr
+    ).collect()
+    got_f = wand.wand_topk(
+        fused.blocks, idf, sorted(idf), k=10, allowed=arr, split=split
+    ).collect()
+    rank_identical(
+        [(r["doc_id"], r["score"]) for r in base_f],
+        [(r["doc_id"], r["score"]) for r in got_f],
+    )
