@@ -177,11 +177,19 @@ class IndexReader:
             blocks, idf, ids, k=k, allowed=allowed_arr, split=split
         )
 
+    def _filter_arg(self, where, max_driver_docs: int = 500_000):
+        """``where`` → the ``allowed`` argument for the block scorers
+        (bitset array if selective, doc_id relation otherwise, None if
+        unfiltered)."""
+        arr, df = self._resolve_filter(where, max_driver_docs)
+        return arr if arr is not None else df
+
     def search_prefix(
         self,
         prefix: str,
         k: int = DEFAULT_TOP_K,
         max_expansions: int = 50,
+        where=None,
     ) -> DataFrame:
         """Prefix query (scoring_boolean rewrite): expand over the
         vocabulary, BM25-sum the expansion through the block index.  The
@@ -202,7 +210,10 @@ class IndexReader:
             for r in rows
         }
         ids = sorted(idf)
-        return bm25.score_from_blocks(self._blocks_for(ids), idf, ids, k=k)
+        return bm25.score_from_blocks(
+            self._blocks_for(ids), idf, ids, k=k,
+            allowed=self._filter_arg(where),
+        )
 
     def _fuzzy_candidates_df(
         self, terms: list[str], fuzziness: int
@@ -247,6 +258,7 @@ class IndexReader:
         k: int = DEFAULT_TOP_K,
         fuzziness: int = 1,
         max_expansions: int = 50,
+        where=None,
     ) -> DataFrame:
         """Fuzzy match (OpenSearch ``fuzziness`` with the default
         ``transpositions: true``, scoring_boolean rewrite): each analyzed
@@ -281,9 +293,14 @@ class IndexReader:
                     1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)
                 )
         ids = sorted(idf)
-        return bm25.score_from_blocks(self._blocks_for(ids), idf, ids, k=k)
+        return bm25.score_from_blocks(
+            self._blocks_for(ids), idf, ids, k=k,
+            allowed=self._filter_arg(where),
+        )
 
-    def search_phrase(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
+    def search_phrase(
+        self, query: str, k: int = DEFAULT_TOP_K, where=None
+    ) -> DataFrame:
         """Exact-phrase search over a POSITIONAL index (built with
         positions=True; the reference mapping's term_vector
         with_positions_offsets makes OpenSearch match_phrase possible —
@@ -325,11 +342,21 @@ class IndexReader:
                 F.col("term_id").isin(term_ids)
             ).collect()
         }
-        return phrase_match_blocks(
+        res = phrase_match_blocks(
             self._blocks_for(term_ids), term_ids, offsets=offsets,
             term_dfs=term_dfs,
             block_size=self.meta["metrics"].get("block_size"),
-        ).orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
+        )
+        if where is not None:
+            # filter-then-rank: phrase results are doc-sparse already,
+            # so a distributed left-semi on doc_id (never a collected
+            # bitset) is the right shape at any filter selectivity
+            pred = F.expr(where) if isinstance(where, str) else where
+            res = res.join(
+                self.docs_store().filter(pred).select("doc_id"),
+                "doc_id", "left_semi",
+            )
+        return res.orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(k)
 
     def highlight_terms(self, query: str) -> list[str]:
         """Surface-form term set the highlighter should mark for ``query``
@@ -450,6 +477,7 @@ class IndexReader:
         text_col: str = "text",
         id_col: str = "doc_id",
         width: int = 60,
+        where=None,
     ) -> DataFrame:
         """Top-k + highlighted first fragments — OpenSearch's *plain*
         highlighter semantics (re-analyze the stored text at query time;
@@ -466,7 +494,7 @@ class IndexReader:
         )
 
         terms = self.highlight_terms(query)
-        top = self.search(query, k=k)
+        top = self.search(query, k=k, where=where)
         joined = top.join(
             docs.select(F.col(id_col).alias("doc_id"), text_col),
             "doc_id",

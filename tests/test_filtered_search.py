@@ -208,3 +208,55 @@ def test_wand_split_rank_identical(fused, allowed, split):
         [(r["doc_id"], r["score"]) for r in base_f],
         [(r["doc_id"], r["score"]) for r in got_f],
     )
+
+
+def test_filtered_prefix_fuzzy_phrase_end_to_end(spark, corpus, tmp_path):
+    """The filter composes with EVERY query type: prefix, fuzzy, and
+    phrase results under `where` equal the unfiltered run minus
+    ineligible docs."""
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    docs = corpus.filter(F.col("doc_id") % 2 == 0)
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    build_index(spark, docs, cat, fingerprint="fpp", n_build_partitions=1,
+                analyzer="stop", id_col="doc_id", positions=True)
+    reader = IndexReader(spark, cat)
+    where = "n_chars >= 400"
+    allowed_set = {
+        r["doc_id"]
+        for r in docs.filter(F.expr(where)).select("doc_id").collect()
+    }
+
+    def expect(rows, key):
+        kept = [
+            tuple(r[c] for c in ("doc_id", key))
+            for r in rows if r["doc_id"] in allowed_set
+        ]
+        kept.sort(key=lambda x: (-x[1], x[0]))
+        return kept[:10]
+
+    pfx = reader.search_prefix("sp", k=100_000).collect()
+    got = reader.search_prefix("sp", k=10, where=where).collect()
+    rank_identical(
+        expect(pfx, "score"),
+        [(r["doc_id"], r["score"]) for r in got],
+    )
+
+    fz = reader.search_fuzzy("spak", k=100_000, fuzziness=1).collect()
+    got = reader.search_fuzzy("spak", k=10, fuzziness=1, where=where).collect()
+    rank_identical(
+        expect(fz, "score"),
+        [(r["doc_id"], r["score"]) for r in got],
+    )
+
+    ph = reader.search_phrase("merge sort", k=100_000).collect()
+    got = reader.search_phrase("merge sort", k=10, where=where).collect()
+    exp = sorted(
+        ((r["doc_id"], r["n_occurrences"]) for r in ph
+         if r["doc_id"] in allowed_set),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [(r["doc_id"], r["n_occurrences"]) for r in got] == exp
+    reader.close()
