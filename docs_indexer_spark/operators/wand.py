@@ -344,7 +344,7 @@ def wand_topk(
     query_term_ids: Iterable[int],
     k: int = DEFAULT_TOP_K,
     allowed: np.ndarray | None = None,
-    split: int = 1,
+    split: int | str = 1,
 ) -> DataFrame:
     """Distributed block-max WAND: per-bucket WAND (exact within the
     bucket's doc range) → global TakeOrderedAndProject(k).
@@ -367,7 +367,14 @@ def wand_topk(
     bounds, and boundary-spanning blocks decode once per slice they
     overlap (≤ |terms|·(split−1) extra block decodes — noise).  Slice
     masks are applied at decode, so bounds stay valid upper bounds —
-    the same exactness argument as the filter bitset."""
+    the same exactness argument as the filter bitset.
+
+    ``split="auto"`` sizes the slicing from the SAME metadata aggregate
+    the slicer needs anyway: split = clamp(cores // n_buckets, 1, 8)
+    when the query touches enough blocks to amortize a task per slice
+    (≥ 256 — ~32k postings at block_size 128), else 1.  A 10M-doc
+    index auto-bucketed at ~10 on 32 cores resolves to 3; a gate-sized
+    index resolves to 1 and takes the unsliced plan unchanged."""
     terms = sorted(set(query_term_ids))
     if not terms:
         return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
@@ -384,12 +391,14 @@ def wand_topk(
     if allowed is not None:
         hit = prune_blocks_by_allowed(hit, allowed)
 
-    if split > 1:
+    bounds = None
+    if split == "auto" or (isinstance(split, int) and split > 1):
         bounds = (
             hit.groupBy("bucket")
             .agg(
                 F.min("first_doc_id").alias("_lo"),
                 F.max("last_doc_id").alias("_hi"),
+                F.count(F.lit(1)).alias("_nb"),
             )
             .collect()
         )
@@ -397,6 +406,15 @@ def wand_topk(
             return blocks.sparkSession.createDataFrame(
                 [], "doc_id long, score double"
             )
+        if split == "auto":
+            n_blocks = sum(int(r["_nb"]) for r in bounds)
+            cores = blocks.sparkSession.sparkContext.defaultParallelism
+            split = (
+                max(1, min(8, cores // len(bounds)))
+                if n_blocks >= 256
+                else 1
+            )
+    if split > 1:
         bdf = blocks.sparkSession.createDataFrame(
             [
                 (
