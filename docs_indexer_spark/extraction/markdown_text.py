@@ -79,8 +79,13 @@ def _fence_close(ln: str, marker: str) -> bool:
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)(?:\s+#+)?\s*$")
 _ATTR_LIST_RE = re.compile(r"\s*\{[:#.][^{}]*\}\s*$")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?\s*$")
-_UL_ITEM_RE = re.compile(r"^[*+-]\s+(.*)$")
-_OL_ITEM_RE = re.compile(r"^\d+\.\s+(.*)$")
+# python-markdown CHILD_RE: an item marker at indent 0-3 starts an item
+# (either marker type — the list TYPE comes from the block's first line);
+# a marker at indent 4-7 is a nested chunk parsed inside the previous
+# <li> (OListProcessor.INDENT_RE)
+_UL_ITEM_RE = re.compile(r"^[ ]{0,3}[*+-][ \t]+(.*)$")
+_OL_ITEM_RE = re.compile(r"^[ ]{0,3}\d+\.[ \t]+(.*)$")
+_INDENT_ITEM_RE = re.compile(r"^[ ]{4,7}(?:\d+\.|[*+-])[ \t]+")
 
 _CODE_SPAN_RE = re.compile(r"`([^`]+)`")
 _IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^)]*)\)")
@@ -96,7 +101,15 @@ _REF_DEF_RE = re.compile(
 _REF_LINK_RE = re.compile(r"\[([^\]]+)\]\[([^\]]*)\]")
 _SHORTCUT_REF_RE = re.compile(r"\[([^\]]+)\](?!\(|\[)")
 
-_SETEXT_RE = re.compile(r"^ {0,3}(=+|-+)\s*$")
+# python-markdown SetextHeaderProcessor.RE (`^.*?\n[=-]+[ ]*(\n|$)`):
+# the underline must be the SECOND line of the block, start at column 0
+# (no leading-space allowance), may MIX = and - (level decided by the
+# first char), and allows only trailing SPACES
+_SETEXT_RE = re.compile(r"^[=-]+[ ]*$")
+# python-markdown BlockQuoteProcessor.RE: `>` at indent 0-3 only — a
+# 4-space-indented `> x` line is indented-code at block start and plain
+# paragraph text mid-block
+_QUOTE_LINE_RE = re.compile(r"^[ ]{0,3}>")
 _HR_RE = re.compile(r"^ {0,3}(?:(?:\* *){3,}|(?:- *){3,}|(?:_ *){3,})$")
 _INDENT_RE = re.compile(r"^(?:    |\t)(.*)$")
 _NESTED_ITEM_RE = re.compile(r"^(?:    |\t)\s*(?:[*+-]|\d+\.)\s+")
@@ -226,48 +239,67 @@ def _table_html(lines: list[str], refs: dict[str, str] | None = None) -> str:
     return "\n".join(parts)
 
 
+def _dedent4(ln: str) -> str:
+    if ln.startswith("    "):
+        return ln[4:]
+    if ln.startswith("\t"):
+        return ln[1:]
+    return ln
+
+
 def _list_html(lines: list[str], refs: dict[str, str] | None = None) -> str:
-    """Render a (possibly nested) list block.  python-markdown nests a
-    sublist INSIDE the parent <li> when its items are indented one level
-    (4 spaces / tab) under that item."""
+    """Render a (possibly nested) list block with python-markdown's
+    ``OListProcessor.get_items`` line classes: an item marker at indent
+    0-3 starts a new item of THIS list (either marker type — the list
+    type comes from the first line); a marker at indent 4-7 starts a
+    nested chunk parsed INSIDE the previous <li>; any other line lazily
+    continues the previous entry.  Item bodies recurse through the block
+    grammar (so an indented ``> quote`` — or ``> - inner`` sub-grammar —
+    nests inside the <li>), with the first paragraph unwrapped to bare
+    <li> text (tight-list shape).
+
+    Documented divergence from python-markdown (deliberate, extraction
+    quality): lazy continuation lines are dedented up to one level
+    before the recursive parse, so ``    > quoted`` under an item
+    renders as a blockquote instead of leaking a literal ``>`` into the
+    indexed text; and blank-line-separated sibling items stay separate
+    tight lists (python-markdown merges them into one loose list)."""
     ordered = bool(_OL_ITEM_RE.match(lines[0]))
-    item_re = _OL_ITEM_RE if ordered else _UL_ITEM_RE
     tag = "ol" if ordered else "ul"
-    items: list[str] = []
-    i = 0
-    while i < len(lines):
-        m = item_re.match(lines[i])
-        if not m:
-            i += 1
+    # entries: ("item", [item text, lazy lines...]) or
+    #          ("nested", [raw 4-space-indented lines...])
+    entries: list[tuple[str, list[str]]] = []
+    for ln in lines:
+        if _INDENT_ITEM_RE.match(ln):
+            if entries and entries[-1][0] == "nested":
+                entries[-1][1].append(ln)
+            else:
+                entries.append(("nested", [ln]))
             continue
-        text = m.group(1)
-        i += 1
-        sub: list[str] = []
-        while i < len(lines):
-            dm = _INDENT_RE.match(lines[i])
-            if not dm:
-                break
-            sub.append(dm.group(1))
-            i += 1
-        if sub and (_UL_ITEM_RE.match(sub[0]) or _OL_ITEM_RE.match(sub[0])):
-            items.append(
-                f"<li>{_inline(text, refs)}{_list_html(sub, refs)}\n</li>"
-            )
-        elif sub and sub[0].lstrip().startswith(">"):
-            # blockquote nested in a list item (4-space-indented "> ..."):
-            # recurse through the block grammar so the ">" markers never
-            # leak into the extracted text
-            items.append(
-                f"<li>{_inline(text, refs)}"
-                + _render_blocks(sub, refs)
-                + "\n</li>"
-            )
-        elif sub:  # loose continuation lines belong to the item text
-            joined = " ".join([text] + [s.strip() for s in sub if s.strip()])
-            items.append(f"<li>{_inline(joined, refs)}</li>")
-        else:
-            items.append(f"<li>{_inline(text, refs)}</li>")
-    return f"<{tag}>\n" + "\n".join(items) + f"\n</{tag}>"
+        m = _UL_ITEM_RE.match(ln) or _OL_ITEM_RE.match(ln)
+        if m:
+            entries.append(("item", [m.group(1)]))
+        elif entries:
+            entries[-1][1].append(ln)
+    out: list[str] = []
+    for kind, body in entries:
+        if kind == "nested":
+            rendered = _render_blocks([_dedent4(l) for l in body], refs)
+            if out and out[-1].endswith("</li>"):
+                out[-1] = out[-1][: -len("</li>")] + rendered + "\n</li>"
+            else:  # defensive: indented chunk with no preceding item
+                out.append(f"<li>{rendered}</li>")
+            continue
+        if len(body) == 1:
+            out.append(f"<li>{_inline(body[0], refs)}</li>")
+            continue
+        content = [body[0]] + [_dedent4(l) for l in body[1:]]
+        rendered = _render_blocks(content, refs)
+        if rendered.startswith("<p>") and "</p>" in rendered:
+            close = rendered.index("</p>")
+            rendered = rendered[3:close] + rendered[close + len("</p>"):]
+        out.append(f"<li>{rendered}</li>")
+    return f"<{tag}>\n" + "\n".join(out) + f"\n</{tag}>"
 
 
 def markdown_to_html(markdown_text: str) -> str:
@@ -413,17 +445,25 @@ def _render_blocks(lines: list[str], refs: dict[str, str]) -> str:
             continue
 
         if _UL_ITEM_RE.match(line) or _OL_ITEM_RE.match(line):
-            base_re = _OL_ITEM_RE if _OL_ITEM_RE.match(line) else _UL_ITEM_RE
+            # the list block runs to the next blank line; non-item lines
+            # lazily continue the current item (python-markdown
+            # get_items); higher-priority SEARCH processors (heading,
+            # fence, hr) still split the block
             lst: list[str] = []
-            while i < n and (
-                base_re.match(lines[i]) or _INDENT_RE.match(lines[i])
-            ):
-                lst.append(lines[i])
+            while i < n and lines[i].strip():
+                nxt = lines[i]
+                if lst and (
+                    _HEADING_RE.match(nxt)
+                    or _FENCE_OPEN_RE.match(nxt)
+                    or _HR_RE.match(nxt)
+                ):
+                    break
+                lst.append(nxt)
                 i += 1
             blocks.append(_list_html(lst, refs))
             continue
 
-        if line.lstrip().startswith(">"):
+        if _QUOTE_LINE_RE.match(line):
             quoted: list[str] = []
             while i < n and lines[i].strip():
                 ls = lines[i].lstrip()
@@ -434,12 +474,13 @@ def _render_blocks(lines: list[str], refs: dict[str, str]) -> str:
                     _HEADING_RE.match(lines[i])
                     or _FENCE_OPEN_RE.match(lines[i])
                     or _HR_RE.match(lines[i])
-                    or _UL_ITEM_RE.match(lines[i])
-                    or _OL_ITEM_RE.match(lines[i])
                 ):
-                    # lazy paragraph continuation (python-markdown): a
-                    # non-blank, non-structural line without ">" continues
-                    # the quoted paragraph
+                    # lazy continuation (python-markdown): any non-blank
+                    # line that is not a higher-priority SEARCH splitter
+                    # (heading / fence / hr) continues the quote — a
+                    # "- item" line lazily joins the quoted paragraph as
+                    # literal text, it does NOT start a list (list
+                    # processors only test the block's first line)
                     quoted.append(ls)
                     i += 1
                 else:
@@ -451,25 +492,32 @@ def _render_blocks(lines: list[str], refs: dict[str, str]) -> str:
             )
             continue
 
-        # paragraph: consume until blank line / structural marker; a
-        # setext underline (=== / ---) closes the block as a heading
+        # paragraph: consume until blank line / structural splitter.  A
+        # setext underline (=/-, column 0, may mix) closes the block as
+        # a heading ONLY as the paragraph's second line — python-
+        # markdown's SetextHeaderProcessor RE spans exactly the block's
+        # first two lines, so "l1\nl2\n===" keeps the "===" as literal
+        # paragraph text (and "l1\nl2\n---" splits on the hr SEARCH).
+        # List-item lines never break a paragraph: python-markdown's
+        # list processors test only the block's FIRST line, so a list
+        # needs a blank line after a paragraph.  Heading / fence / hr /
+        # quote DO split mid-block (SEARCH-based processors).
         para: list[str] = [line]
         i += 1
         setext_level = 0
         while i < n and lines[i].strip():
             nxt = lines[i]
-            st = _SETEXT_RE.match(nxt)
-            if st:
-                setext_level = 1 if st.group(1)[0] == "=" else 2
-                i += 1
-                break
+            if len(para) == 1:
+                st = _SETEXT_RE.match(nxt)
+                if st:
+                    setext_level = 1 if nxt[0] == "=" else 2
+                    i += 1
+                    break
             if (
                 _FENCE_OPEN_RE.match(nxt)
                 or _HEADING_RE.match(nxt)
-                or _UL_ITEM_RE.match(nxt)
-                or _OL_ITEM_RE.match(nxt)
                 or _HR_RE.match(nxt)
-                or nxt.lstrip().startswith(">")
+                or _QUOTE_LINE_RE.match(nxt)
             ):
                 break
             para.append(nxt)

@@ -413,3 +413,88 @@ def test_markdown_autolinks():
     assert '<a href="mailto:dev@example.com">' in html
     assert markdown_to_text(md) == \
         "see https://ex.com/a_b?x=1&y=2 or mail dev@example.com"
+
+
+def test_markdown_setext_underline_second_line_only():
+    """python-markdown's SetextHeaderProcessor RE spans exactly the
+    block's first two lines (`^.*?\\n[=-]+[ ]*(\\n|$)` — the non-greedy
+    `.*?` cannot cross a newline), so an underline after a multi-line
+    paragraph is NOT a heading: a `===` line stays literal paragraph
+    text, while a `---` line splits on the (SEARCH-based, lower-
+    priority) hr processor instead."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_html
+
+    html = markdown_to_html("line one\nline two\n===\n\nafter")
+    assert "<h1>" not in html and "<h2>" not in html
+    assert "<p>line one\nline two\n===</p>" in html
+
+    html2 = markdown_to_html("line one\nline two\n---\n\nafter")
+    assert "<h2>" not in html2
+    assert "<p>line one\nline two</p>" in html2 and "<hr />" in html2
+
+    # the underline must start at column 0 (python-markdown gives setext
+    # no leading-space allowance, unlike hash headings' blocks)
+    assert "<h1>" not in markdown_to_html("Title\n ===")
+    # ... may mix = and - (level decided by the FIRST char) ...
+    assert "<h1>Title</h1>" in markdown_to_html("Title\n=-=")
+    # ... and the rest of the block re-parses after the heading
+    html3 = markdown_to_html("Title\n===\nrest of block")
+    assert "<h1>Title</h1>" in html3 and "<p>rest of block</p>" in html3
+
+
+def test_markdown_list_requires_blank_line():
+    """python-markdown's list processors test only the block's FIRST
+    line (`OListProcessor.RE` is anchored, no MULTILINE), so a list
+    cannot interrupt a paragraph — the marker lines stay literal
+    paragraph text until a blank line precedes them."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_html
+
+    html = markdown_to_html("para text\n- item one\n- item two")
+    assert "<ul>" not in html
+    assert "<p>para text\n- item one\n- item two</p>" in html
+    # with the blank line the same lines ARE a list
+    html2 = markdown_to_html("para text\n\n- item one\n- item two")
+    assert "<ul>" in html2 and "<li>item one</li>" in html2
+    # same rule inside a blockquote: a "- item" line lazily continues
+    # the quoted paragraph as literal text
+    html3 = markdown_to_html("> quoted\n- item\n\nnext para")
+    assert "<ul>" not in html3
+    assert "- item" in html3.split("</blockquote>")[0]
+
+
+def test_markdown_list_blockquote_list():
+    """List → blockquote → list: the quoted lines lazily continue the
+    item (so the quote nests INSIDE the <li>), and the inner list needs
+    a blank `>` line inside the quote — without one the `- inner` line
+    lazily continues the quoted paragraph as literal text (list
+    processors only test the block's first line)."""
+    from docs_indexer_spark.extraction.markdown_text import (
+        markdown_to_html,
+        markdown_to_text,
+    )
+
+    blank = "- item\n  > quote\n  >\n  > - inner\n"
+    html = markdown_to_html(blank)
+    # quote nests inside the item's <li>, inner list inside the quote
+    assert html.index("<li>item") < html.index("<blockquote>")
+    assert html.index("<blockquote>") < html.index("<li>inner")
+    assert html.index("<li>inner") < html.index("</blockquote>")
+    text = markdown_to_text(blank)
+    assert ">" not in text
+    for frag in ("item", "quote", "inner"):
+        assert frag in text
+
+    noblank = "- item\n  > quote\n  > - inner\n"
+    html2 = markdown_to_html(noblank)
+    assert "<p>quote\n- inner</p>" in html2  # literal, no inner list
+    assert html2.count("<ul>") == 1
+
+
+def test_markdown_list_lazy_item_continuation():
+    """A non-blank, non-marker line after a list item lazily continues
+    that item's text (python-markdown get_items else-branch)."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_html
+
+    html = markdown_to_html("- item\ncontinued text\n- second")
+    assert "<li>item\ncontinued text</li>" in html
+    assert "<li>second</li>" in html
