@@ -147,7 +147,9 @@ def _stop_dfs(spark, sf_dir):
     return dfs
 
 
-def _bm25_oracle(term_pred: str, having: str = "", doc_pred: str = "") -> str:
+def _bm25_oracle(
+    term_pred: str, having: str = "", doc_pred: str = "", offset: int = 0
+) -> str:
     """BM25 twin parametrized by the term predicate (IN-list, LIKE
     prefix), an optional HAVING (boolean-AND semantics), and an optional
     document predicate (filtered search: idf / avgdl stay CORPUS-wide —
@@ -188,7 +190,7 @@ def _bm25_oracle(term_pred: str, having: str = "", doc_pred: str = "") -> str:
       {having}
     )
     SELECT doc_id, round(s, 6) AS score
-    FROM scored ORDER BY s DESC, doc_id LIMIT 10
+    FROM scored ORDER BY s DESC, doc_id LIMIT 10 OFFSET {offset}
     """
 
 
@@ -262,6 +264,35 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
     top = wand_topk(fb.blocks, idf, sorted(idf), k=10, allowed=allowed)
     return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (OpenSearch ``search_after`` under the
+    ``[_score desc, doc_id asc]`` sort): page 2 of the flagship BM25
+    query.  Page 1's last (score, doc_id) sort key seeds a
+    strictly-after predicate applied BEFORE the top-k
+    (operators/bm25.py score_from_blocks ``after=``), so page N+1 costs
+    one pass like page 1 and the driver never re-materializes earlier
+    pages — the from+size shape re-scores and re-sorts N·k rows, which
+    is exactly what breaks deep paging at 10^12 docs.  Twin: the same
+    scoring SQL with OFFSET 10 under the identical total order."""
+    import numpy as np
+
+    from docs_indexer_spark.operators.bm25 import score_from_blocks
+    from docs_indexer_spark.operators.postings import idf_col
+
+    fb = _fused_cached(spark, sf_dir, "stop", norm_dtype=np.float64)
+    idf_rows = (
+        fb.terms.filter(F.col("term").isin(BM25_TERMS))
+        .join(fb.df_stats(), "term_id")
+        .withColumn("idf", idf_col(F.col("df"), fb.n_docs))
+        .collect()
+    )
+    idf = {int(r["term_id"]): float(r["idf"]) for r in idf_rows}
+    page1 = score_from_blocks(fb.blocks, idf, sorted(idf), k=10).collect()
+    cursor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = score_from_blocks(fb.blocks, idf, sorted(idf), k=10, after=cursor)
+    return page2.select("doc_id", F.round("score", 6).alias("score"))
 
 
 # The production analyzer's query: raw inflected forms whose Porter stems
@@ -1635,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "bm25_search_after": q_bm25_search_after,
         "bm25_english_topk": q_bm25_english_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "prefix_search_topk": q_prefix_search_topk,
@@ -1802,6 +1834,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_topk": _BM25_ORACLE_SQL,
         "bm25_filtered_topk": _bm25_oracle(
             f"p.term IN {_TERMS_SQL}", doc_pred=FILTER_PRED
+        ),
+        "bm25_search_after": _bm25_oracle(
+            f"p.term IN {_TERMS_SQL}", offset=10
         ),
         "bm25_english_topk": _bm25_english_oracle(EN_QUERY),
         "bm25_and_topk": _bm25_oracle(

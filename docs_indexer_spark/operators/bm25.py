@@ -136,8 +136,17 @@ def score_from_blocks(
     k: int = DEFAULT_TOP_K,
     require_all: bool = False,
     allowed: "np.ndarray | DataFrame | None" = None,
+    after: "tuple[float, int] | None" = None,
 ) -> DataFrame:
     """Exact BM25 top-k from the compressed block index.
+
+    ``after=(score, doc_id)`` — cursor pagination (OpenSearch
+    ``search_after`` under the ``[_score desc, doc_id asc]`` sort): only
+    documents STRICTLY after the cursor in that total order can enter
+    the top-k, so page N+1 costs the same one pass as page 1 and the
+    driver never re-materializes earlier pages (the from+size shape
+    does).  The float equality in the tie-arm is sound because the
+    cursor is a score this same deterministic plan produced.
 
     The `term_id IN (...)` filter prunes row groups before any decode;
     decode is vectorized numpy inside mapInPandas; the final aggregate +
@@ -198,6 +207,12 @@ def score_from_blocks(
     if require_all:
         n_scoring = len([t for t in terms if idf.get(int(t))])
         scored = scored.filter(F.col("_nt") == n_scoring)
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < s0)
+            | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+        )
     return (
         scored.drop("_nt").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     )

@@ -126,6 +126,7 @@ class IndexReader:
         where=None,
         max_driver_filter_docs: int = 500_000,
         split: int | str = "auto",
+        search_after: "tuple[float, int] | None" = None,
     ) -> DataFrame:
         """``operator="and"`` = OpenSearch operator:and (every query term
         must match) — routed through the exact scorer, whose per-doc
@@ -149,7 +150,16 @@ class IndexReader:
         identical; see wand_topk).  The default ``"auto"`` sizes the
         slicing from block metadata: 1 on small/selective queries (plan
         unchanged), cores//n_buckets (≤8) on block-heavy ones — at 10M
-        docs this took head-term p95 from 5.7 s to 2.7 s on 32 cores."""
+        docs this took head-term p95 from 5.7 s to 2.7 s on 32 cores.
+
+        ``search_after=(score, doc_id)`` — cursor pagination under the
+        ``[_score desc, doc_id asc]`` sort (OpenSearch ``search_after``):
+        pass the previous page's last sort key to get the next ``k``.
+        Routed through the exact scorer: WAND gains nothing from a
+        cursor (a block's upper bound being above the cursor score says
+        nothing about which of its docs fall below it), and the
+        strictly-after predicate composes with ``where``/``operator``
+        unchanged."""
         terms = analyze_text(query, self.analyzer)
         idf = self._idf(sorted(set(terms)))
         ids = sorted(idf)
@@ -164,17 +174,18 @@ class IndexReader:
             return bm25.score_from_blocks(
                 blocks, idf, ids, k=k, require_all=True,
                 allowed=allowed_arr if allowed_arr is not None else allowed_df,
+                after=search_after,
             )
         if allowed_df is not None:
             # broad filter: exhaustive scoring + semi-join beats WAND
             # (upper-bound pruning buys little when most docs are
             # eligible, and the filter relation must stay distributed)
             return bm25.score_from_blocks(
-                blocks, idf, ids, k=k, allowed=allowed_df
+                blocks, idf, ids, k=k, allowed=allowed_df, after=search_after
             )
-        if exact:
+        if exact or search_after is not None:
             return bm25.score_from_blocks(
-                blocks, idf, ids, k=k, allowed=allowed_arr
+                blocks, idf, ids, k=k, allowed=allowed_arr, after=search_after
             )
         return wand.wand_topk(
             blocks, idf, ids, k=k, allowed=allowed_arr, split=split

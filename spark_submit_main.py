@@ -70,6 +70,10 @@ def main() -> None:
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy match: expand each term over the vocabulary "
                         "within N edits (OpenSearch fuzziness)")
+    q.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
+                   help="cursor pagination (search_after): return the "
+                        "next --k hits strictly after this sort key "
+                        "from a previous page's last hit")
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--input", required=True,
@@ -142,8 +146,13 @@ def main() -> None:
             ).collect()
             hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         else:
+            after = None
+            if args.after:
+                s, d = args.after.rsplit(":", 1)
+                after = (float(s), int(d))
             rows = reader.search(args.q, k=args.k, exact=args.exact,
-                                 operator=args.op, where=args.where).collect()
+                                 operator=args.op, where=args.where,
+                                 search_after=after).collect()
             hits = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         out = {
             "query": args.q,

@@ -260,3 +260,41 @@ def test_filtered_prefix_fuzzy_phrase_end_to_end(spark, corpus, tmp_path):
     )[:10]
     assert [(r["doc_id"], r["n_occurrences"]) for r in got] == exp
     reader.close()
+
+
+def test_search_after_pages_partition_the_ranking(fused):
+    """Cursor pagination: walking pages via after=(score, doc_id) must
+    reproduce the single-query ranking exactly — no gaps, no repeats —
+    and compose with a filter."""
+    terms = ["merge", "query", "sort"]
+    idf = _idf_map(fused, terms)
+    full = bm25.score_from_blocks(fused.blocks, idf, sorted(idf), k=30).collect()
+    pages, cursor = [], None
+    for _ in range(3):
+        page = bm25.score_from_blocks(
+            fused.blocks, idf, sorted(idf), k=10, after=cursor
+        ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (float(page[-1]["score"]), int(page[-1]["doc_id"]))
+    assert [(r["doc_id"], r["score"]) for r in pages] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
+def test_search_after_composes_with_filter(fused, allowed):
+    terms = ["merge", "query", "sort"]
+    idf = _idf_map(fused, terms)
+    arr = np.asarray(allowed, dtype=np.int64)
+    full = bm25.score_from_blocks(
+        fused.blocks, idf, sorted(idf), k=20, allowed=arr
+    ).collect()
+    p1 = full[:10]
+    cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    p2 = bm25.score_from_blocks(
+        fused.blocks, idf, sorted(idf), k=10, allowed=arr, after=cursor
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in p2] == [
+        (r["doc_id"], r["score"]) for r in full[10:20]
+    ]
