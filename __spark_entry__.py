@@ -1249,6 +1249,51 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Dodge et al. 2021):
+    corpus docs sharing token n-grams with a benchmark set.  The bench
+    split is deterministic (doc_id % 7 = 0 plays the eval set; the rest
+    is the training corpus); n=8 fits this corpus's doc lengths (the
+    production default is the GPT-3 13-gram).  Plan: the bench side's
+    distinct (bench_id, gram) pairs broadcast; corpus touched once —
+    tokenize -> gram explode -> broadcast join -> per-doc agg
+    (operators/dedup.py ngram_contamination)."""
+    from docs_indexer_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    out = ngram_contamination(corpus, bench, n=DECON_N)
+    return out.orderBy(F.desc("n_grams_hit"), F.asc("doc_id")).limit(50)
+
+
+DECON_N = 8
+
+_DECON_ORACLE_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS g
+      FROM d, unnest(range(1, len(t) - {DECON_N - 2})) r(i)
+      WHERE len(t) >= {DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 7 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 0
+    )
+    SELECT doc_id,
+           count(DISTINCT g) AS n_grams_hit,
+           count(DISTINCT bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b USING (g)
+    GROUP BY doc_id
+    ORDER BY n_grams_hit DESC, doc_id
+    LIMIT 50
+    """
+
+
 _SUBSTR_ORACLE_SQL = f"""
     WITH d AS (
       SELECT doc_id, {TOKS} AS t FROM documents
@@ -1699,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
         "substring_dup_spans": q_substring_dup_spans,
+        "decontaminate_overlap": q_decontaminate_overlap,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2173,6 +2219,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle(max_hamming=3),
         "winnow_fingerprints": _WINNOW_ORACLE_SQL,
         "substring_dup_spans": _SUBSTR_ORACLE_SQL,
+        "decontaminate_overlap": _DECON_ORACLE_SQL,
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

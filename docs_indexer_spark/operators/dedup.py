@@ -821,3 +821,62 @@ def duplicate_substring_spans(
         )
         .drop("_isl")
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination by token n-gram overlap (the GPT-3
+    appendix-C / Dodge et al. 2021 "documented contamination" check):
+    flag every corpus document sharing at least one n-gram with any
+    benchmark document.  Returns one row per contaminated doc:
+    ``(doc_id, n_grams_hit, n_bench_docs)`` — distinct overlapping
+    grams and distinct benchmark documents hit.  The caller supplies
+    the two relations (and excludes benchmark members from ``docs`` if
+    they are drawn from the same table); ``n`` defaults to 13, the
+    GPT-3 filter size.
+
+    100-TB shape: an evaluation set is MB-sized against a TB corpus, so
+    the benchmark's distinct (bench_id, gram) pairs BROADCAST and the
+    corpus relation is touched exactly once — tokenize → gram explode →
+    broadcast hash join → per-doc aggregate with map-side combine.  The
+    only corpus-sized shuffle is the final doc_id aggregate, the
+    answer's own grain.  Docs shorter than ``n`` tokens emit no grams
+    (empty-array explode), so no filter has to reach through the heavy
+    tokenizer projection.
+    """
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    from docs_indexer_spark.session import spread
+
+    bench_id = bench_id_col or id_col
+
+    def gram_pairs(df: DataFrame, idc: str, out: str) -> DataFrame:
+        rel = spread(df).select(
+            F.col(idc).alias(out), tokens_col(text_col).alias("_toks")
+        )
+        toks = F.col("_toks")
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return rel.select(out, F.explode(g).alias("gram"))
+
+    bpairs = gram_pairs(bench, bench_id, "bench_id").distinct()
+    cpairs = gram_pairs(docs, id_col, id_col)
+    return (
+        cpairs.join(F.broadcast(bpairs), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_grams_hit"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -708,3 +708,42 @@ def test_substring_spans_hash_families_agree(spark):
         (2, "head m1 m2 m3 m4 m5"),
     ]
     assert _spans(spark, rows, hash="xx") == _spans(spark, rows, hash="md5")
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    """A corpus doc that quotes an 8-token benchmark passage is flagged
+    with the exact distinct-gram count; clean docs are absent; docs
+    shorter than n emit no grams."""
+    from docs_indexer_spark.operators.dedup import ngram_contamination
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    bench = spark.createDataFrame(
+        [(100, f"intro {passage} outro"), (101, "totally different words here")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix text {passage} suffix text"),  # quotes the passage
+            (2, "no overlap at all in this document body"),
+            (3, "short doc"),  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(docs, bench, n=8).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["doc_id"] == 1
+    # "intro <passage> outro" vs "prefix text <passage> suffix text":
+    # only the passage's own single 8-gram is shared
+    assert row["n_grams_hit"] == 1 and row["n_bench_docs"] == 1
+
+
+def test_ngram_contamination_plan_broadcasts_bench(spark):
+    from docs_indexer_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = ngram_contamination(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
