@@ -1249,6 +1249,60 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+MESSY_URL_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'http' WHEN doc_id % 3 = 1 THEN 'HTTP' "
+    "ELSE 'HTTPS' END, '://', "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END, "
+    "source, '.Example.COM', "
+    "CASE WHEN doc_id % 5 = 0 THEN ':80' WHEN doc_id % 5 = 1 THEN ':443' "
+    "WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END, "
+    "'/Docs/', CAST(doc_id % 20 AS STRING), '/Page', "
+    "CASE WHEN doc_id % 4 = 0 THEN concat('?utm_source=feed&id=', "
+    "CAST(doc_id % 9 AS STRING)) "
+    "WHEN doc_id % 4 = 1 THEN concat('?id=', CAST(doc_id % 9 AS STRING), "
+    "'&utm_campaign=x&ref=2') "
+    "WHEN doc_id % 4 = 2 THEN concat('?id=', CAST(doc_id % 9 AS STRING)) "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END)"
+)
+"""Deterministic messy-URL synthesis, one SQL expression valid in BOTH
+dialects (testdata carries no url column — input_hint's url plane is
+synthesized per doc_id with planted case/port/www/tracking/fragment
+variation, so canonicalization has real work to do on every row)."""
+
+
+def q_url_canonical_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization + host-level statistics (the
+    first crawl-pipeline operator: dedup/sharding/blocklists all key on
+    canonical URL and host).  RFC-3986-shaped normalization — lowercase
+    scheme://authority, drop fragment / www. / scheme-default ports /
+    utm-gclid-fbclid params — as a pure native regexp_replace chain
+    (functions/urls.py), then one host aggregate.  The DuckDB twin
+    applies byte-identical RE2 steps (CANONICAL_URL_SQL_STEPS lives
+    next to the Spark chain so they diff together)."""
+    from docs_indexer_spark.functions.urls import host_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(MESSY_URL_SQL).alias("url")
+    )
+    return host_stats(docs).orderBy("host")
+
+
+def _url_hosts_oracle() -> str:
+    from docs_indexer_spark.functions.urls import CANONICAL_URL_SQL_STEPS
+
+    canon = CANONICAL_URL_SQL_STEPS.format(u="u")
+    return f"""
+    WITH raw AS (SELECT {MESSY_URL_SQL} AS u FROM documents),
+    canon AS (SELECT {canon} AS c FROM raw)
+    SELECT regexp_extract(c, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1) AS host,
+           count(*) AS n_docs,
+           count(DISTINCT c) AS n_urls
+    FROM canon GROUP BY 1 ORDER BY host
+    """
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / Dodge et al. 2021):
     corpus docs sharing token n-grams with a benchmark set.  The bench
@@ -1745,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "substring_dup_spans": q_substring_dup_spans,
         "decontaminate_overlap": q_decontaminate_overlap,
+        "url_canonical_hosts": q_url_canonical_hosts,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2220,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_ORACLE_SQL,
         "substring_dup_spans": _SUBSTR_ORACLE_SQL,
         "decontaminate_overlap": _DECON_ORACLE_SQL,
+        "url_canonical_hosts": _url_hosts_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),
