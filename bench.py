@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "upsert_latest",
     "join_default",
     "exact_dedup",
+    "decontaminate_overlap",
+    "url_canonical_hosts",
+    "bm25_search_after",
     "token_count_topn",
     "lang_id_confusion",
     "lm_perplexity",
