@@ -148,7 +148,8 @@ def _stop_dfs(spark, sf_dir):
 
 
 def _bm25_oracle(
-    term_pred: str, having: str = "", doc_pred: str = "", offset: int = 0
+    term_pred: str, having: str = "", doc_pred: str = "", offset: int = 0,
+    limit: int = 10,
 ) -> str:
     """BM25 twin parametrized by the term predicate (IN-list, LIKE
     prefix), an optional HAVING (boolean-AND semantics), and an optional
@@ -190,7 +191,7 @@ def _bm25_oracle(
       {having}
     )
     SELECT doc_id, round(s, 6) AS score
-    FROM scored ORDER BY s DESC, doc_id LIMIT 10 OFFSET {offset}
+    FROM scored ORDER BY s DESC, doc_id LIMIT {limit} OFFSET {offset}
     """
 
 
@@ -1249,6 +1250,129 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search — Reciprocal Rank Fusion of a BM25 text arm and an
+    ANN cosine vector arm (the OpenSearch hybrid-search RRF processor;
+    Cormack et al. 2009, c=60): each arm contributes its top-20, fused
+    by sum of 1/(60+rank), final top-10.  Fusion math is rank-only, so
+    the twin reproduces it with two ranked CTEs + row_number
+    (operators/similarity.py rrf_fuse)."""
+    from docs_indexer_spark.operators.similarity import cosine_topk, rrf_fuse
+
+    postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
+    # ranks are taken over ROUNDED scores on both engine and twin so a
+    # sub-1e-6 score tie cannot order differently across float paths
+    text_arm = bm25.score_from_tokens(
+        postings, doclens, n, avgdl, BM25_TERMS, k=20
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    emb = _read(spark, sf_dir, "embeddings")
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    vec_arm = cosine_topk(emb, [1.0] * int(dim_row["d"]), k=20).select(
+        F.col("vec_id").alias("doc_id"), F.round("cosine", 6).alias("score")
+    )
+    fused = rrf_fuse([text_arm, vec_arm], k=10, c=60)
+    return fused.select(
+        "doc_id", "n_lists", F.round("rrf_score", 6).alias("rrf_score")
+    )
+
+
+def _hybrid_oracle() -> str:
+    bm25_sub = _bm25_oracle(f"p.term IN {_TERMS_SQL}", limit=20)
+    return f"""
+    WITH text_arm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({bm25_sub}) t
+    ),
+    dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             list_sum(list_transform(embedding, x -> x::DOUBLE))
+             / (sqrt(list_sum(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt((SELECT d FROM dim)::DOUBLE)) AS c
+      FROM embeddings
+    ),
+    vec_arm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(c, 6) DESC, doc_id) AS r
+      FROM (SELECT doc_id, c FROM cos ORDER BY c DESC, doc_id LIMIT 20) v
+    ),
+    fused AS (
+      SELECT doc_id, count(*) AS n_lists,
+             sum(1.0 / (60 + r)) AS rrf
+      FROM (SELECT * FROM text_arm UNION ALL SELECT * FROM vec_arm) u
+      GROUP BY 1
+    )
+    SELECT doc_id, n_lists, round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+DSIR_B = 1024
+
+
+def q_dsir_weights_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS 2023): score the
+    raw corpus (doc_id % 7 != 0) by log p_target/p_raw under hashed-
+    bigram bag-of-ngrams models, target = the doc_id % 7 = 0 slice —
+    the standard cheap selector for up-sampling target-domain-like web
+    documents.  Distributions are 1024-bucket md5-parity hashes with
+    Laplace-0.5 smoothing; the log-ratio relation broadcasts; the raw
+    corpus is touched twice, each pass explode -> hash -> agg
+    (functions/text_quality.py dsir_log_weights).  Top 30 by weight."""
+    from docs_indexer_spark.functions.text_quality import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    out = dsir_log_weights(raw, target, n_buckets=DSIR_B)
+    return (
+        out.select(
+            "doc_id", "n_features", F.round("log_weight", 6).alias("log_weight")
+        )
+        .orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(30)
+    )
+
+
+_DSIR_ORACLE_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      FROM d, unnest(range(1, len(t))) r(i)
+      WHERE len(t) >= 2
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {DSIR_B} AS bucket
+      FROM grams
+    ),
+    td AS (SELECT bucket, count(*) AS tc FROM b WHERE doc_id % 7 = 0 GROUP BY 1),
+    rd AS (SELECT bucket, count(*) AS rc FROM b WHERE doc_id % 7 <> 0 GROUP BY 1),
+    ratio AS (
+      SELECT COALESCE(td.bucket, rd.bucket) AS bucket,
+             ln((COALESCE(tc, 0) + 0.5)
+                / ((SELECT sum(tc) FROM td) + 0.5 * {DSIR_B}))
+             - ln((COALESCE(rc, 0) + 0.5)
+                  / ((SELECT sum(rc) FROM rd) + 0.5 * {DSIR_B})) AS lw
+      FROM td FULL OUTER JOIN rd ON td.bucket = rd.bucket
+    ),
+    score AS (
+      SELECT doc_id, count(*) AS n_features, sum(lw) AS log_weight
+      FROM (SELECT doc_id, bucket FROM b WHERE doc_id % 7 <> 0) x
+      JOIN ratio USING (bucket)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_features, round(log_weight, 6) AS log_weight
+    FROM score
+    ORDER BY round(log_weight, 6) DESC, doc_id
+    LIMIT 30
+    """
+
+
 MESSY_URL_SQL = (
     "concat("
     "CASE WHEN doc_id % 3 = 0 THEN 'http' WHEN doc_id % 3 = 1 THEN 'HTTP' "
@@ -1800,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": q_substring_dup_spans,
         "decontaminate_overlap": q_decontaminate_overlap,
         "url_canonical_hosts": q_url_canonical_hosts,
+        "dsir_weights_topn": q_dsir_weights_topn,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2276,6 +2402,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": _SUBSTR_ORACLE_SQL,
         "decontaminate_overlap": _DECON_ORACLE_SQL,
         "url_canonical_hosts": _url_hosts_oracle(),
+        "dsir_weights_topn": _DSIR_ORACLE_SQL,
+        "hybrid_rrf_topk": _hybrid_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

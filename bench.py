@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "decontaminate_overlap",
     "url_canonical_hosts",
     "bm25_search_after",
+    "dsir_weights_topn",
+    "hybrid_rrf_topk",
     "token_count_topn",
     "lang_id_confusion",
     "lm_perplexity",

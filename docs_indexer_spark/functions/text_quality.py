@@ -297,3 +297,95 @@ def repetition_stats(
             "top_unigram_frac"
         ),
     )
+
+
+def dsir_log_weights(
+    docs,
+    target,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw-corpus document with the log importance
+    weight ``log p_target(x) / p_raw(x)`` under hashed-bigram
+    bag-of-ngrams models — the standard cheap way to up-sample
+    target-domain-like documents out of a web crawl.
+
+    Features are word bigrams hashed into ``n_buckets`` buckets (md5
+    32-bit-prefix family — the SQL-parity hash every dedup plane here
+    uses); both distributions are Laplace-``alpha``-smoothed over the
+    bucket space; a document's weight sums the per-feature log ratios
+    WITH multiplicity (the n-gram LM factorization).  Returns
+    ``(doc_id, n_features, log_weight)`` for docs with ≥1 bigram.
+
+    100-TB shape: the two bucket distributions are ``n_buckets``-sized
+    aggregates (map-side combine; driver sees only two scalar totals),
+    joined into one tiny log-ratio relation that BROADCASTS to the
+    scorer — the raw corpus is touched exactly twice (distribution
+    pass, scoring pass), each a narrow explode → hash → agg with no
+    corpus-sized shuffle beyond the per-doc aggregate."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+    from docs_indexer_spark.session import spread
+
+    B = n_buckets
+
+    def feats(df, keep_id):
+        rel = spread(df).select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            tokens_col(text_col).alias("_toks"),
+        )
+        toks = F.col("_toks")
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        rel = rel.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.explode(grams).alias("_g"),
+        )
+        h = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+        return rel.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            (h % B).alias("bucket"),
+        )
+
+    t_dist = feats(target, False).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    r_dist = feats(docs, False).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    # scalar totals — metadata-sized driver collects, like every other
+    # vocabulary/stats collect in this package
+    tt = t_dist.agg(F.sum("tc")).collect()[0][0] or 0
+    rt = r_dist.agg(F.sum("rc")).collect()[0][0] or 0
+    ratio = (
+        t_dist.join(r_dist, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + alpha)
+                    / F.lit(float(tt) + alpha * B)
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + alpha)
+                    / F.lit(float(rt) + alpha * B)
+                )
+            ).alias("lw"),
+        )
+    )
+    return (
+        feats(docs, True)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lw").alias("log_weight"),
+        )
+    )

@@ -435,3 +435,50 @@ def embedding_near_duplicates(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009; the OpenSearch
+    hybrid-search RRF processor): fuse N ranked hit lists — canonically
+    a BM25 text arm and an ANN vector arm — into one ranking scored by
+    ``sum over lists of 1 / (c + rank)``, ``c`` = 60 per the paper and
+    every production default.  Each input is a two-column (id, score)
+    relation ranked by (score desc, id asc).
+
+    Rank-fusion runs on top-k hit lists, which are k-row relations BY
+    CONSTRUCTION — the per-list ``row_number`` window over an
+    unpartitioned sort is a k-row driver-adjacent sort, not a
+    corpus-wide one, and the fusion aggregate touches N·k rows.
+    Nothing here scales with the corpus; both arms already did their
+    distributed work."""
+    from pyspark.sql import Window
+
+    ranked = []
+    for df in rankings:
+        idc, sc = df.columns[0], df.columns[1]
+        w = Window.orderBy(F.desc(sc), F.asc(idc))
+        ranked.append(
+            df.select(
+                F.col(idc).alias(id_col),
+                F.row_number().over(w).alias("_rank"),
+            )
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum(F.lit(1.0) / (F.col("_rank") + F.lit(c))).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -298,3 +298,25 @@ def test_search_after_composes_with_filter(fused, allowed):
     assert [(r["doc_id"], r["score"]) for r in p2] == [
         (r["doc_id"], r["score"]) for r in full[10:20]
     ]
+
+
+def test_rrf_fuse_known_values(spark):
+    """RRF on two hand-built lists: scores are exactly sum 1/(60+rank);
+    docs in both lists outrank docs in one."""
+    from docs_indexer_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, score double"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10, c=60).collect()}
+    assert rows[1]["n_lists"] == 2 and rows[4]["n_lists"] == 1
+    assert abs(rows[1]["rrf_score"] - (1 / 61 + 1 / 63)) < 1e-12
+    assert abs(rows[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(rows[4]["rrf_score"] - 1 / 62) < 1e-12
+    order = [r["doc_id"] for r in sorted(
+        rows.values(), key=lambda r: (-r["rrf_score"], r["doc_id"])
+    )]
+    assert order[:2] == [2, 1]  # both-list docs first

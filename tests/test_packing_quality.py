@@ -99,3 +99,43 @@ def test_repetition_stats_edges(spark):
     assert out[2]["dup_unigram_frac"] == 0.0
     assert out[2]["top_unigram_frac"] == 0.0
     assert out[3]["dup_trigram_frac"] == 0.5       # 4 grams, 2 distinct
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """A raw doc sharing the target domain's bigrams must out-weigh an
+    off-domain doc; docs with <2 tokens emit no features."""
+    from docs_indexer_spark.functions.text_quality import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100, "spark shuffle join spark shuffle join spark shuffle")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "spark shuffle join spark shuffle partition"),
+            (2, "tomato garden rain harvest sunshine soil"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(raw, target, n_buckets=64).collect()
+    }
+    assert set(rows) == {1, 2}  # doc 3 has no bigram features
+    assert rows[1]["log_weight"] > rows[2]["log_weight"]
+    assert rows[1]["n_features"] == 5 and rows[2]["n_features"] == 5
+
+
+def test_dsir_plan_broadcasts_ratio(spark):
+    from docs_indexer_spark.functions.text_quality import dsir_log_weights
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = (
+        dsir_log_weights(raw, target)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
