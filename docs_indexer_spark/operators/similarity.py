@@ -340,15 +340,23 @@ class IvfIndex:
         k: int = 10,
         nprobe: int = 4,
         id_col: str = "vec_id",
+        allowed: "DataFrame | None" = None,
     ) -> DataFrame:
         """Same semantics (and results) as :func:`ivf_topk` with these
         centroids — but the centroid_id filter hits a PARTITION COLUMN, so
-        only the probed lists' files are read."""
+        only the probed lists' files are read.
+
+        ``allowed`` (a relation with an ``id_col`` column) restricts the
+        candidate set BEFORE the top-k cut — filter-then-rank, the same
+        contract as the text scorers' ``allowed``, so k survivors are
+        guaranteed when the filtered lists hold that many."""
         qv = np.asarray(query_vec, dtype=np.float64)
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         order = np.argsort(-(self.centroids @ qn))
         probes = [int(c) for c in order[:nprobe]]
         cand = self.assigned.filter(F.col("centroid_id").isin(probes))
+        if allowed is not None:
+            cand = cand.join(allowed.select(id_col), id_col, "left_semi")
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         cos = _dot(F.col("v"), q) / (
             _norm(F.col("v")) * F.lit(float(np.linalg.norm(qv)))

@@ -483,6 +483,43 @@ class IndexReader:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def search_hybrid(
+        self,
+        query: str,
+        query_vec,
+        ivf,
+        k: int = DEFAULT_TOP_K,
+        k_arm: int = 20,
+        c: int = 60,
+        nprobe: int = 4,
+        where=None,
+    ) -> DataFrame:
+        """Hybrid text+vector search (the OpenSearch hybrid query with
+        the RRF processor): a BM25 arm through this inverted index and
+        an ANN arm through a persisted :class:`IvfIndex`, each
+        contributing its top ``k_arm``, fused by reciprocal rank —
+        Σ 1/(c+rank), c=60 (Cormack et al. 2009).  ``where`` filters
+        BOTH arms before their top-k cuts (text: bitset/semi-join as in
+        :meth:`search`; vector: left-semi on the probed inverted lists),
+        so the fused k are all filter-qualifying.  Fusion itself is
+        rank-only math on two k_arm-row relations — nothing corpus-
+        sized happens after the arms."""
+        from docs_indexer_spark.operators.similarity import rrf_fuse
+
+        text = self.search(query, k=k_arm, where=where).select(
+            "doc_id", "score"
+        )
+        allowed = None
+        if where is not None:
+            pred = F.expr(where) if isinstance(where, str) else where
+            allowed = self.docs_store().filter(pred).select(
+                F.col("doc_id").alias("vec_id")
+            )
+        vec = ivf.topk(
+            query_vec, k=k_arm, nprobe=nprobe, allowed=allowed
+        ).select(F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
+        return rrf_fuse([text, vec], k=k, c=c)
+
     def search_with_snippets(
         self,
         query: str,

@@ -320,3 +320,51 @@ def test_rrf_fuse_known_values(spark):
         rows.values(), key=lambda r: (-r["rrf_score"], r["doc_id"])
     )]
     assert order[:2] == [2, 1]  # both-list docs first
+
+
+def test_search_hybrid_end_to_end(spark, corpus, tmp_path):
+    """Hybrid serving: search_hybrid must equal rrf_fuse of the two arms
+    computed independently, and `where` must reach BOTH arms."""
+    from docs_indexer_spark.operators.similarity import (
+        IvfIndex,
+        ivf_centroids,
+        rrf_fuse,
+    )
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    docs = corpus.filter(F.col("doc_id") % 3 == 0)
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    build_index(spark, docs, cat, fingerprint="f1", n_build_partitions=2,
+                analyzer="stop", id_col="doc_id")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IvfIndex.build(
+        emb, ivf_centroids(64, 8, seed=7), str(tmp_path / "ivf")
+    )
+    reader = IndexReader(spark, cat)
+    q, qv = " ".join(TERMS), [1.0] * 64
+    got = [
+        (r["doc_id"], r["n_lists"], round(r["rrf_score"], 9))
+        for r in reader.search_hybrid(q, qv, idx, k=10, k_arm=15).collect()
+    ]
+    text = reader.search(q, k=15).select("doc_id", "score")
+    vec = idx.topk(qv, k=15).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    want = [
+        (r["doc_id"], r["n_lists"], round(r["rrf_score"], 9))
+        for r in rrf_fuse([text, vec], k=10).collect()
+    ]
+    assert got == want and got
+    # filtered: every fused hit must satisfy the predicate in BOTH id
+    # spaces (text hits come from the doc store, vector hits from the
+    # allowed semi-join on the same doc_ids)
+    where = "n_chars >= 400"
+    ok = {
+        r["doc_id"]
+        for r in docs.filter(F.expr(where)).select("doc_id").collect()
+    }
+    hits = reader.search_hybrid(q, qv, idx, k=10, where=where).collect()
+    assert hits and all(r["doc_id"] in ok for r in hits)
+    reader.close()
