@@ -1309,6 +1309,73 @@ def _hybrid_oracle() -> str:
     """
 
 
+PII_FOOTER_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', "
+    "CAST(doc_id AS STRING), '@Example.com for details') "
+    "WHEN doc_id % 3 = 1 THEN concat(' server 10.', "
+    "CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING), "
+    "' logged') "
+    "ELSE concat(' call +1-555-', CAST(1000 + doc_id % 9000 AS STRING), "
+    "' now') END"
+)
+"""Deterministic PII footer (both dialects): testdata text carries no
+PII, so each doc gets one planted email / IPv4 / phone by doc_id class
+— redaction has real work on every row."""
+
+
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (CCNet/C4-style pre-training scrub): emails /
+    IPv4s / phones replaced by typed sentinels with per-class counts —
+    one codegen projection, patterns RE2-portable so the twin applies
+    byte-identical regexes (functions/text_quality.py pii_stats,
+    PII_PATTERNS is the single source of truth for both sides)."""
+    from docs_indexer_spark.functions.text_quality import pii_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.expr(PII_FOOTER_SQL)).alias("text"),
+    )
+    out = pii_stats(docs)
+    return (
+        out.select(
+            "doc_id",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_ipv4s").cast("long").alias("n_ipv4s"),
+            F.col("n_phones").cast("long").alias("n_phones"),
+            F.length("redacted_text").cast("long").alias("n_chars_redacted"),
+            F.expr("right(redacted_text, 40)").alias("redacted_tail"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def _pii_oracle() -> str:
+    from docs_indexer_spark.functions.text_quality import PII_PATTERNS
+
+    (e_n, e_p, e_r), (i_n, i_p, i_r), (p_n, p_p, p_r) = PII_PATTERNS
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, concat(text, {PII_FOOTER_SQL}) AS t2 FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t2, '{e_p}')) AS n_emails,
+             len(regexp_extract_all(t2, '{i_p}')) AS n_ipv4s,
+             len(regexp_extract_all(t2, '{p_p}')) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(t2,
+               '{e_p}', '{e_r}', 'g'),
+               '{i_p}', '{i_r}', 'g'),
+               '{p_p}', '{p_r}', 'g') AS r
+      FROM raw
+    )
+    SELECT doc_id, n_emails, n_ipv4s, n_phones,
+           length(r) AS n_chars_redacted,
+           right(r, 40) AS redacted_tail
+    FROM red ORDER BY doc_id LIMIT 100
+    """
+
+
 DSIR_B = 1024
 
 
@@ -1926,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_hosts": q_url_canonical_hosts,
         "dsir_weights_topn": q_dsir_weights_topn,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "pii_redaction_stats": q_pii_redaction_stats,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2404,6 +2472,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_hosts": _url_hosts_oracle(),
         "dsir_weights_topn": _DSIR_ORACLE_SQL,
         "hybrid_rrf_topk": _hybrid_oracle(),
+        "pii_redaction_stats": _pii_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "bm25_search_after",
     "dsir_weights_topn",
     "hybrid_rrf_topk",
+    "pii_redaction_stats",
     "token_count_topn",
     "lang_id_confusion",
     "lm_perplexity",

@@ -389,3 +389,39 @@ def dsir_log_weights(
             F.sum("lw").alias("log_weight"),
         )
     )
+
+
+# PII patterns, deliberately RE2-portable (no lookarounds) so the DuckDB
+# oracle applies byte-identical regexes: email, dotted-quad IPv4, and a
+# +CC-NNN-NNNN international phone shape.  Production pipelines swap in
+# their jurisdiction's pattern pack; the plumbing (ordered replace chain
+# + per-class counts, all native regexp) is what this module provides.
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """PII redaction (the CCNet/C4-style pre-training scrub stage):
+    replace emails / IPv4s / phone numbers with typed sentinels and
+    count each class per document.  Returns
+    ``(doc_id, n_emails, n_ipv4s, n_phones, redacted_text)``.
+
+    100-TB shape: one narrow projection of chained native
+    ``regexp_replace`` / ``regexp_count`` calls — whole-stage codegen,
+    zero shuffles, zero UDFs; classes are counted BEFORE any
+    replacement so an email inside an already-redacted span can't be
+    double-counted differently across engines."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        F.col(id_col), *counts, red.alias("redacted_text")
+    )

@@ -139,3 +139,28 @@ def test_dsir_plan_broadcasts_ratio(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_pii_stats_counts_and_redacts(spark):
+    from docs_indexer_spark.functions.text_quality import pii_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-site.org and x@y.io, ip 10.0.0.1, "
+                "call +44-123-4567 twice +44-123-4567"),
+            (2, "clean text with no pii at all"),
+            (3, "not-an-email @ nor 999.999 nor +1-12-345"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_emails"], r1["n_ipv4s"], r1["n_phones"]) == (2, 1, 2)
+    red = r1["redacted_text"]
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "@" not in red and "10.0.0.1" not in red and "+44" not in red
+    r2 = rows[2]
+    assert (r2["n_emails"], r2["n_ipv4s"], r2["n_phones"]) == (0, 0, 0)
+    assert r2["redacted_text"] == "clean text with no pii at all"
+    r3 = rows[3]
+    assert (r3["n_emails"], r3["n_ipv4s"], r3["n_phones"]) == (0, 0, 0)
