@@ -1309,6 +1309,77 @@ def _hybrid_oracle() -> str:
     """
 
 
+TITLE_LEN, TITLE_BOOST = 6, 2.0
+
+
+def q_bm25_most_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted multi-field relevance (OpenSearch ``multi_match`` type
+    ``most_fields``): title = the doc's first 6 stop-chain tokens
+    (boost 2.0), body = the full stop chain (boost 1.0); each field
+    scored with ITS OWN df/avgdl statistics, per-doc field scores
+    boost-summed, ONE top-k over the sum — the union happens BEFORE any
+    cut so a doc mediocre in every field but best overall survives
+    (operators/bm25.py score_most_fields)."""
+    from docs_indexer_spark.operators.bm25 import score_most_fields
+
+    p_b, d_b, n_b, a_b = _stop_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    t_toks = (
+        with_tokens(docs, "text", "stop")
+        .select("doc_id", F.slice("tokens", 1, TITLE_LEN).alias("tokens"))
+    )
+    p_t, d_t = token_postings(t_toks), doc_lengths(t_toks)
+    n_t, a_t = corpus_stats(d_t)
+    top = score_most_fields(
+        [(p_t, d_t, n_t, a_t, TITLE_BOOST), (p_b, d_b, n_b, a_b, 1.0)],
+        BM25_TERMS,
+        k=10,
+    )
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _field_score_cte(name: str, tarr: str, boost: float) -> str:
+    """Per-field BM25 CTE chain with the field's OWN statistics."""
+    return f"""
+    {name}_p AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({tarr}) AS term FROM d) GROUP BY 1, 2
+    ),
+    {name}_l AS (SELECT doc_id, len({tarr}) AS dl FROM d),
+    {name}_s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM {name}_l),
+    {name}_df AS (SELECT term, count(*) AS df FROM {name}_p GROUP BY 1),
+    {name}_sc AS (
+      SELECT p.doc_id,
+             {boost} * sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * p.tf / (p.tf + {{K1}} * (1 - {{B}} + {{B}} * l.dl / s.avgdl)) ) AS sc
+      FROM {name}_p p
+      JOIN {name}_df f USING (term)
+      JOIN {name}_l l USING (doc_id)
+      CROSS JOIN {name}_s s
+      WHERE p.term IN {{TERMS}}
+      GROUP BY 1
+    )"""
+
+
+def _most_fields_oracle() -> str:
+    title = _field_score_cte("title", f"t[1:{TITLE_LEN}]", TITLE_BOOST)
+    body = _field_score_cte("body", "t", 1.0)
+    sql = f"""
+    WITH d AS (
+      SELECT doc_id, {STOKS} AS t FROM documents
+    ),{title},{body},
+    uni AS (
+      SELECT * FROM title_sc UNION ALL SELECT * FROM body_sc
+    ),
+    tot AS (SELECT doc_id, sum(sc) AS s FROM uni GROUP BY 1)
+    SELECT doc_id, round(s, 6) AS score
+    FROM tot ORDER BY s DESC, doc_id LIMIT 10
+    """
+    return sql.replace("{K1}", str(K1)).replace("{B}", str(B)).replace(
+        "{TERMS}", _TERMS_SQL
+    )
+
+
 PII_FOOTER_SQL = (
     "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', "
     "CAST(doc_id AS STRING), '@Example.com for details') "
@@ -1994,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_topn": q_dsir_weights_topn,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "pii_redaction_stats": q_pii_redaction_stats,
+        "bm25_most_fields_topk": q_bm25_most_fields_topk,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2473,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights_topn": _DSIR_ORACLE_SQL,
         "hybrid_rrf_topk": _hybrid_oracle(),
         "pii_redaction_stats": _pii_oracle(),
+        "bm25_most_fields_topk": _most_fields_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

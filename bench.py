@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dsir_weights_topn",
     "hybrid_rrf_topk",
     "pii_redaction_stats",
+    "bm25_most_fields_topk",
     "token_count_topn",
     "lang_id_confusion",
     "lm_perplexity",

@@ -216,3 +216,65 @@ def score_from_blocks(
     return (
         scored.drop("_nt").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     )
+
+
+def score_most_fields(
+    fields,
+    query_terms: Iterable[str],
+    k: int = DEFAULT_TOP_K,
+    params: BM25Params = BM25Params(),
+) -> DataFrame:
+    """OpenSearch ``multi_match`` type ``most_fields``: every field is
+    scored with ITS OWN statistics (per-field df and avgdl — exactly
+    what separate per-field indices give), per-doc field scores are
+    boost-weighted and summed, and ONE top-k runs over the sum.
+    ``fields`` = list of ``(postings, doclens, n_docs, avgdl, boost)``.
+
+    Plan: per field, the same filtered-postings scoring join as
+    :func:`score_from_tokens`; the per-field partials are UNIONED
+    BEFORE any cut — a per-field top-k first would be the
+    dis_max/best_fields shape and can drop a doc that is mediocre in
+    every field but best overall — then one doc_id aggregate feeds
+    TakeOrderedAndProject(k).  Everything stays term-filtered, so the
+    union is O(Σ df(query term)) rows per field — query-sized, never
+    corpus-sized."""
+    terms = sorted(set(query_terms))
+    parts = []
+    for postings, doclens, n_docs, avgdl, boost in fields:
+        if not terms:
+            continue
+        hits = postings.filter(F.col("term").isin(terms))
+        dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        parts.append(
+            hits.join(F.broadcast(dfs), "term")
+            .join(doclens, "doc_id")
+            .withColumn("idf", idf_col(F.col("df"), n_docs))
+            .withColumn(
+                "tfn",
+                F.col("tf")
+                / (
+                    F.col("tf")
+                    + params.k1
+                    * (1.0 - params.b + params.b * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            .select(
+                "doc_id",
+                (F.col("idf") * F.col("tfn") * F.lit(float(boost))).alias(
+                    "partial"
+                ),
+            )
+        )
+    if not parts:
+        return fields[0][0].sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -191,3 +191,47 @@ def test_more_like_this_serving(spark, tmp_path):
     # a missing seed yields empty, not an error
     assert reader.more_like_this(10**15, docs).count() == 0
     reader.close()
+
+
+def test_most_fields_single_field_equals_plain_and_boost_scales(index):
+    """score_most_fields with one boost-1.0 field must equal
+    score_from_tokens; boost b scales every score by exactly b."""
+    postings, doclens, n, avgdl = (
+        index["postings"], index["doclens"], index["n"], index["avgdl"],
+    )
+    terms = ["merge", "query", "sort"]
+    plain = bm25.score_from_tokens(
+        postings, doclens, n, avgdl, terms, k=10
+    ).collect()
+    one = bm25.score_most_fields(
+        [(postings, doclens, n, avgdl, 1.0)], terms, k=10
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in plain] == [
+        (r["doc_id"], round(r["score"], 9)) for r in one
+    ]
+    boosted = bm25.score_most_fields(
+        [(postings, doclens, n, avgdl, 2.5)], terms, k=10
+    ).collect()
+    for p, b in zip(plain, boosted):
+        assert p["doc_id"] == b["doc_id"]
+        assert abs(b["score"] - 2.5 * p["score"]) < 1e-9
+
+
+def test_most_fields_sums_across_fields(index):
+    """Two identical boost-1.0 fields double every doc's score and keep
+    the ranking — the union-then-aggregate shape, no per-field cut."""
+    postings, doclens, n, avgdl = (
+        index["postings"], index["doclens"], index["n"], index["avgdl"],
+    )
+    terms = ["merge", "query"]
+    plain = bm25.score_from_tokens(
+        postings, doclens, n, avgdl, terms, k=10
+    ).collect()
+    two = bm25.score_most_fields(
+        [(postings, doclens, n, avgdl, 1.0),
+         (postings, doclens, n, avgdl, 1.0)],
+        terms, k=10,
+    ).collect()
+    for p, t in zip(plain, two):
+        assert p["doc_id"] == t["doc_id"]
+        assert abs(t["score"] - 2.0 * p["score"]) < 1e-9
