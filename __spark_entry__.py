@@ -1309,6 +1309,95 @@ def _hybrid_oracle() -> str:
     """
 
 
+C4_PAGE_SQL = (
+    "concat("
+    "'This is the opening sentence of the page.', chr(10), "
+    "substr(text, 1, 40), chr(10), "
+    "'Too short.', chr(10), "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "concat('Please enable javascript to continue reading.', chr(10)) "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "concat('Standard lorem ipsum filler text appears here.', chr(10)) "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 13 = 0 THEN "
+    "concat('Inline code with a { brace appears here.', chr(10)) "
+    "ELSE '' END, "
+    "'Sentence two arrives here. Sentence three follows immediately after it.', "
+    "chr(10), "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'Sentence four is present. Sentence five concludes the page.' "
+    "WHEN doc_id % 3 = 1 THEN "
+    "'Sentence four is present, sentence five is merely a comma splice.' "
+    "ELSE 'Sentence four ends here.' END)"
+)
+"""Deterministic multi-line page synthesis (both dialects): testdata
+text has no line/sentence structure, so each doc becomes a page with
+planted C4 rule triggers — a no-terminal-punct line, a too-short line,
+a javascript line (doc_id%4), lorem ipsum (doc_id%11), a curly brace
+(doc_id%13), and a sentence count that crosses the >=5 page threshold
+only for doc_id%3=0."""
+
+
+def q_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2): line rules (terminal
+    punctuation, >=3 words, no javascript) + page rules (>=5 sentences,
+    no lorem ipsum, no curly brace) in one codegen projection
+    (functions/text_quality.py c4_clean)."""
+    from docs_indexer_spark.functions.text_quality import c4_clean
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(C4_PAGE_SQL).alias("text")
+    )
+    out = c4_clean(docs)
+    return (
+        out.select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            "kept",
+            "clean_text",
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+_C4_ORACLE_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id, {{C4_PAGE}} AS t2 FROM documents
+    ),
+    l AS (SELECT doc_id, t2, string_split(t2, chr(10)) AS ls FROM raw),
+    k AS (
+      SELECT doc_id, t2, len(ls) AS n_lines,
+             list_filter(ls, x ->
+               (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+                OR ends_with(trim(x), '?') OR ends_with(trim(x), '."'))
+               AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+               AND NOT contains(lower(trim(x)), 'javascript')) AS kl
+      FROM l
+    ),
+    c AS (
+      SELECT doc_id, t2, n_lines, len(kl) AS n_lines_kept,
+             array_to_string(kl, chr(10)) AS clean
+      FROM k
+    ),
+    s AS (
+      SELECT doc_id, n_lines, n_lines_kept,
+             len(regexp_split_to_array(clean, '[.!?]')) - 1 AS n_sentences,
+             (len(regexp_split_to_array(clean, '[.!?]')) - 1 >= 5
+              AND NOT contains(lower(t2), 'lorem ipsum')
+              AND NOT contains(t2, '{{')) AS kept,
+             clean
+      FROM s0
+    )
+    SELECT doc_id, n_lines, n_lines_kept, n_sentences, kept,
+           CASE WHEN kept THEN clean END AS clean_text
+    FROM s ORDER BY doc_id LIMIT 100
+    """.replace("{C4_PAGE}", C4_PAGE_SQL).replace("FROM s0", "FROM c")
+
+
 TITLE_LEN, TITLE_BOOST = 6, 2.0
 
 
@@ -2066,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "pii_redaction_stats": q_pii_redaction_stats,
         "bm25_most_fields_topk": q_bm25_most_fields_topk,
+        "c4_page_filter": q_c4_page_filter,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2546,6 +2636,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": _hybrid_oracle(),
         "pii_redaction_stats": _pii_oracle(),
         "bm25_most_fields_topk": _most_fields_oracle(),
+        "c4_page_filter": _C4_ORACLE_SQL,
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

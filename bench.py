@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "hybrid_rrf_topk",
     "pii_redaction_stats",
     "bm25_most_fields_topk",
+    "c4_page_filter",
     "token_count_topn",
     "lang_id_confusion",
     "lm_perplexity",

@@ -425,3 +425,68 @@ def pii_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
     return docs.select(
         F.col(id_col), *counts, red.alias("redacted_text")
     )
+
+
+def c4_clean(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_sentences: int = 5,
+):
+    """C4-style page cleaning (Raffel et al. 2020 §2.2 — the rules that
+    produced C4 from Common Crawl):
+
+    line level — keep a line only if it (a) ends in a terminal
+    punctuation mark (``.``, ``!``, ``?``, or ``."``), (b) has at least
+    ``min_words`` whitespace words, and (c) does not mention
+    "javascript" (case-insensitive);
+
+    page level — a page is kept only if the cleaned text has at least
+    ``min_sentences`` terminal marks and the ORIGINAL page contains
+    neither "lorem ipsum" (case-insensitive) nor a curly brace.
+
+    Returns ``(doc_id, n_lines, n_lines_kept, n_sentences, kept,
+    clean_text)`` with ``clean_text`` NULL for dropped pages.  One
+    narrow projection of native split/filter/join HOFs — codegen-side,
+    zero shuffles; every rule is RE2-portable for the oracle twin."""
+    t = F.col(text_col)
+
+    def _keep(line):
+        tr = F.trim(line)
+        return (
+            (
+                tr.endswith(".")
+                | tr.endswith("!")
+                | tr.endswith("?")
+                | tr.endswith('."')
+            )
+            & (F.size(F.split(tr, r"\s+")) >= min_words)
+            & ~F.lower(tr).contains("javascript")
+        )
+
+    lined = docs.select(
+        F.col(id_col), t.alias("_t"), F.split(t, "\n").alias("_lines")
+    )
+    kept_lines = F.filter(F.col("_lines"), _keep)
+    staged = lined.select(
+        id_col,
+        "_t",
+        F.size("_lines").alias("n_lines"),
+        F.size(kept_lines).alias("n_lines_kept"),
+        F.array_join(kept_lines, "\n").alias("_clean"),
+    )
+    n_sent = F.size(F.split(F.col("_clean"), r"[.!?]")) - 1
+    page_ok = (
+        (n_sent >= min_sentences)
+        & ~F.lower(F.col("_t")).contains("lorem ipsum")
+        & ~F.col("_t").contains("{")
+    )
+    return staged.select(
+        id_col,
+        "n_lines",
+        "n_lines_kept",
+        n_sent.alias("n_sentences"),
+        page_ok.alias("kept"),
+        F.when(page_ok, F.col("_clean")).alias("clean_text"),
+    )

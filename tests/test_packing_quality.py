@@ -164,3 +164,40 @@ def test_pii_stats_counts_and_redacts(spark):
     assert r2["redacted_text"] == "clean text with no pii at all"
     r3 = rows[3]
     assert (r3["n_emails"], r3["n_ipv4s"], r3["n_phones"]) == (0, 0, 0)
+
+
+def test_c4_clean_rules(spark):
+    """Each C4 rule individually: terminal punctuation, min words,
+    javascript line, lorem ipsum page, curly-brace page, sentence
+    threshold."""
+    from docs_indexer_spark.functions.text_quality import c4_clean
+
+    good = ("One full sentence here. Another one follows it. A third "
+            "sentence appears. The fourth is here. Fifth one ends it.")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nno terminal punctuation on this line\nThat is fine."),
+            (3, good + "\nPlease enable javascript now."),
+            (4, good + "\nlorem ipsum dolor sit."),
+            (5, good + "\nhas a { brace."),
+            (6, "Only two sentences here. Second one ends."),
+            (7, "Too short.\nOk ok."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert rows[1]["kept"] and rows[1]["n_sentences"] == 5
+    assert rows[1]["clean_text"] == good
+    # line without terminal punct dropped, page survives on the rest
+    assert rows[2]["kept"] and rows[2]["n_lines_kept"] == 2
+    assert "no terminal" not in rows[2]["clean_text"]
+    # javascript line dropped at line level; page still kept
+    assert rows[3]["kept"] and "javascript" not in rows[3]["clean_text"]
+    # page-level drops
+    assert not rows[4]["kept"] and rows[4]["clean_text"] is None
+    assert not rows[5]["kept"] and rows[5]["clean_text"] is None
+    # sentence threshold
+    assert not rows[6]["kept"] and rows[6]["n_sentences"] == 2
+    # min-words line rule: both lines < 3 words
+    assert rows[7]["n_lines_kept"] == 0 and not rows[7]["kept"]
