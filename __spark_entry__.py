@@ -1309,6 +1309,102 @@ def _hybrid_oracle() -> str:
     """
 
 
+PQ_M, PQ_KS, PQ_SEED = 8, 16, 9
+_PQ_BOOKS_CACHE = None
+
+
+def _pq_books():
+    """PQ codebooks trained on the FIXED sf0.001 sample (same sample
+    discipline as _ivf_trained_centroids): a deterministic model
+    artifact whichever SF the gate runs at, retrainable bit-identically
+    by the oracle builder."""
+    global _PQ_BOOKS_CACHE
+    if _PQ_BOOKS_CACHE is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from docs_indexer_spark.operators.similarity import pq_train
+
+        t = pq.read_table(_IVF_TRAIN_PARQUET, columns=["vec_id", "embedding"])
+        order = np.argsort(t.column("vec_id").to_numpy())
+        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        _PQ_BOOKS_CACHE = pq_train(
+            x[order][:4096], m=PQ_M, ks=PQ_KS, iters=8, seed=PQ_SEED
+        )
+    return _PQ_BOOKS_CACHE
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance top-k (Jegou et al.
+    2011 — the billion-scale ANN memory layout: 64-dim float vectors
+    compress to 8 sub-codes and queries score codes via an m-term
+    table-lookup sum, never touching the original vectors).  Codebooks
+    train live on the fixed sample; encode + ADC run over the gate
+    corpus (operators/similarity.py pq_train/pq_encode/pq_adc_topk).
+    The twin retrains the identical sample in Python and inlines
+    codebooks, ||c||^2 constants and the query's distance table as SQL
+    literals — encode argmin and ADC sums replay bit-for-bit."""
+    from docs_indexer_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = _pq_books()
+    codes = pq_encode(emb, books)
+    top = pq_adc_topk(codes, books, _IVF_TRAINED_QVEC, k=10)
+    return top.select("vec_id", F.round("adc", 6).alias("adc"))
+
+
+def _pq_oracle_sql() -> str:
+    import numpy as np
+
+    books = _pq_books()
+    m, ks, d = books.shape
+    qv = _np().asarray(_IVF_TRAINED_QVEC, dtype="float64")
+    dt = np.stack([books[s] @ qv[s * d:(s + 1) * d] for s in range(m)])
+    cc2 = (books * books).sum(axis=2)
+
+    def lit_list(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    dist_cols = []
+    code_cols = []
+    adc_terms = []
+    for s in range(m):
+        sub = f"v[{s * d + 1}:{(s + 1) * d}]"
+        for c in range(ks):
+            dist_cols.append(
+                f"{repr(float(cc2[s, c]))}::DOUBLE - 2 * "
+                f"list_inner_product({sub}, {lit_list(books[s, c])}) "
+                f"AS e{s}_{c}"
+            )
+        mn = "least(" + ",".join(f"e{s}_{c}" for c in range(ks)) + ")"
+        code_cols.append(
+            "CASE "
+            + " ".join(f"WHEN e{s}_{c} = {mn} THEN {c}" for c in range(ks))
+            + f" END AS code{s}"
+        )
+        adc_terms.append(
+            "(CASE code" + str(s) + " "
+            + " ".join(
+                f"WHEN {c} THEN {repr(float(dt[s, c]))}::DOUBLE"
+                for c in range(ks)
+            )
+            + " END)"
+        )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ),
+        dd AS (SELECT vec_id, {", ".join(dist_cols)} FROM v),
+        coded AS (SELECT vec_id, {", ".join(code_cols)} FROM dd),
+        scored AS (
+          SELECT vec_id, {" + ".join(adc_terms)} AS adc FROM coded
+        )
+        SELECT vec_id, round(adc, 6) AS adc
+        FROM scored ORDER BY adc DESC, vec_id LIMIT 10
+    """
+
+
 C4_PAGE_SQL = (
     "concat("
     "'This is the opening sentence of the page.', chr(10), "
@@ -2156,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_stats": q_pii_redaction_stats,
         "bm25_most_fields_topk": q_bm25_most_fields_topk,
         "c4_page_filter": q_c4_page_filter,
+        "ann_pq_adc_topk": q_ann_pq_adc_topk,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2637,6 +2734,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction_stats": _pii_oracle(),
         "bm25_most_fields_topk": _most_fields_oracle(),
         "c4_page_filter": _C4_ORACLE_SQL,
+        "ann_pq_adc_topk": _pq_oracle_sql(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "ann_lsh_neighbors",
     "ann_ivf_topk",
     "ann_ivf_trained",
+    "ann_pq_adc_topk",
     "embedding_near_dups",
     "highlight_snippets",
     "highlight_fragments",

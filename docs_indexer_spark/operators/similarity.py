@@ -490,3 +490,126 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the billion-scale ANN memory layout: vectors
+# compress to m sub-codes (here 8×4 bits = 4 bytes per 64-dim vector, a
+# 64× reduction over float32) and queries score codes via an
+# asymmetric-distance (ADC) table lookup without decompressing anything.
+
+
+def pq_train(
+    x: np.ndarray, m: int = 8, ks: int = 16, iters: int = 8, seed: int = 7
+) -> np.ndarray:
+    """Per-subvector L2 Lloyd's k-means on a numpy sample → codebooks of
+    shape (m, ks, dim//m).  Shared trainer core (same contract as
+    :func:`kmeans_cosine`): an external oracle retrains from the same
+    sample rows and gets bit-identical float64 codebooks to inline as
+    SQL constants.  Deterministic: seeded init from the sample's own
+    rows, fixed iteration count, first-minimum argmin ties."""
+    x = np.asarray(x, dtype=np.float64)
+    n, dim = x.shape
+    d = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, d), dtype=np.float64)
+    for s in range(m):
+        sub = x[:, s * d:(s + 1) * d]
+        cent = sub[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            # ||sub - c||^2 argmin == argmin(||c||^2 - 2 sub.c)
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each subvector mapped to its nearest
+    codebook entry (L2, first-minimum ties).  Vectorized Arrow kernel:
+    per batch one (n × ks) GEMM per subvector, no per-row Python."""
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, d = books.shape
+
+    # ||c||^2 constants are Python floats shared verbatim with the SQL
+    # oracle; the sub·c dot accumulates DIMENSION-BY-DIMENSION so the
+    # fold order is float-for-float the one list_inner_product uses —
+    # argmin ties then break identically (first minimum) on both sides
+    # (same technique as _rp_sig_kernel).
+    cc2 = (books * books).sum(axis=2)  # (m, ks)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                sub = x[:, s * d:(s + 1) * d]
+                d2 = np.empty((len(x), ks), dtype=np.float64)
+                for c in range(ks):
+                    acc = np.zeros(len(x), dtype=np.float64)
+                    for j in range(d):
+                        acc = acc + sub[:, j] * books[s, c, j]
+                    d2[:, c] = cc2[s, c] - 2.0 * acc
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query is NOT
+    quantized — per subvector a ks-entry inner-product table
+    ``dt[s][c] = q_s · codebook[s][c]`` is precomputed (m·ks floats,
+    driver-side numpy), and each stored vector's approximate score is
+    the m-term table-lookup sum.  One Arrow kernel pass over the codes
+    relation + native TakeOrderedAndProject — the scan reads 4-byte
+    codes, never the original vectors.  Scores approximate the true
+    inner product (that is PQ's contract); the gate pins the
+    quantized computation itself, bit-for-bit."""
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, d = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    dt = np.stack(
+        [books[s] @ q[s * d:(s + 1) * d] for s in range(m)]
+    )  # (m, ks)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            # left-to-right subvector accumulation — matches the
+            # oracle's explicit addition chain term for term
+            score = np.zeros(len(c), dtype=np.float64)
+            for s in range(m):
+                score = score + dt[s][c[:, s]]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "adc": score})
+
+    scored = codes.mapInPandas(kernel, schema=f"{id_col} long, adc double")
+    return scored.orderBy(F.desc("adc"), F.asc(id_col)).limit(k)

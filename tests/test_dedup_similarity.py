@@ -747,3 +747,38 @@ def test_ngram_contamination_plan_broadcasts_bench(spark):
     plan = ngram_contamination(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_adc_exact_on_codebook_points(spark):
+    """A vector assembled from codebook entries must encode to exactly
+    those codes, and its ADC score must equal the true inner product
+    (zero quantization error on codebook points)."""
+    import numpy as np
+
+    from docs_indexer_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((500, 64))
+    books = pq_train(x, m=8, ks=16, iters=4, seed=5)
+    picks = [3, 7, 0, 15, 9, 1, 12, 6]
+    vec = np.concatenate([books[s, picks[s]] for s in range(8)])
+    other = rng.standard_normal(64)
+    emb = spark.createDataFrame(
+        [(1, [float(v) for v in vec]), (2, [float(v) for v in other])],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert codes[1] == picks
+    q = rng.standard_normal(64)
+    top = {
+        r["vec_id"]: r["adc"]
+        for r in pq_adc_topk(pq_encode(emb, books), books, q, k=2).collect()
+    }
+    assert abs(top[1] - float(vec @ q)) < 1e-9  # exact on codebook points
+    # the non-codebook vector is approximated, not exact (sanity that
+    # ADC really is a quantized score)
+    assert abs(top[2] - float(other @ q)) > 1e-9
