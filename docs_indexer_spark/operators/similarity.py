@@ -613,3 +613,90 @@ def pq_adc_topk(
 
     scored = codes.mapInPandas(kernel, schema=f"{id_col} long, adc double")
     return scored.orderBy(F.desc("adc"), F.asc(id_col)).limit(k)
+
+
+class IvfPqIndex:
+    """IVF-PQ — THE billion-scale ANN serving structure (Jégou et al.
+    2011 §V): coarse IVF centroids shard vectors into inverted lists
+    (a partition column on disk), and inside each list only the 4-byte
+    PQ code is stored.  A query probes ``nprobe`` lists (partition
+    pruning — unprobed lists' files never open) and scores candidates
+    by ADC table lookup — at 10^9+ vectors a query reads
+    nprobe/n_centroids of a codes-only relation: ~1/1000th of the bytes
+    a float32 scan would touch.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        self.codes = spark.read.parquet(os.path.join(path, "codes"))
+
+    @staticmethod
+    def build(
+        embeddings: DataFrame,
+        centroids: np.ndarray,
+        codebooks: np.ndarray,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        import json
+        import os
+
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        coded = pq_encode(
+            assigned.select(id_col, F.col("v").alias(vec_col)),
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        (
+            assigned.select(id_col, "centroid_id")
+            .join(coded, id_col)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(path, "codes"))
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": [[float(x) for x in c] for c in centroids],
+                    "codebooks": [
+                        [[float(x) for x in e] for e in book]
+                        for book in codebooks
+                    ],
+                },
+                f,
+            )
+        return IvfPqIndex(embeddings.sparkSession, path)
+
+    def topk(
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Probe the nprobe nearest lists (partition-pruned scan of the
+        CODES relation), ADC-score their candidates, top-k by
+        approximate inner product."""
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(self.centroids @ qn))
+        probes = [int(c) for c in order[:nprobe]]
+        cand = self.codes.filter(F.col("centroid_id").isin(probes))
+        return pq_adc_topk(
+            cand.select(id_col, "codes"),
+            self.codebooks,
+            query_vec,
+            k=k,
+            id_col=id_col,
+        )

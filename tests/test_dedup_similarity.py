@@ -782,3 +782,43 @@ def test_pq_encode_adc_exact_on_codebook_points(spark):
     # the non-codebook vector is approximated, not exact (sanity that
     # ADC really is a quantized score)
     assert abs(top[2] - float(other @ q)) > 1e-9
+
+
+def test_ivf_pq_index_end_to_end(spark, tmp_path):
+    """IVF-PQ: results equal filtering the probed lists and ADC-scoring
+    them directly; the codes scan is partition-pruned; stored rows carry
+    codes, not vectors."""
+    import numpy as np
+
+    from docs_indexer_spark.operators.similarity import (
+        IvfPqIndex,
+        ivf_assign,
+        ivf_centroids,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(512).collect()],
+        dtype=np.float64,
+    )
+    cents = ivf_centroids(64, 8, seed=7)
+    books = pq_train(sample, m=8, ks=16, iters=4, seed=5)
+    idx = IvfPqIndex.build(emb, cents, books, str(tmp_path / "ivfpq"))
+    assert "embedding" not in idx.codes.columns  # codes-only storage
+    q = [1.0] * 64
+    got = [(r["vec_id"], round(r["adc"], 9))
+           for r in idx.topk(q, k=10, nprobe=3).collect()]
+    # reference: same probes computed directly (no persisted index)
+    qv = np.asarray(q); qn = qv / np.linalg.norm(qv)
+    probes = [int(c) for c in np.argsort(-(cents @ qn))[:3]]
+    cand = ivf_assign(emb, cents).filter(
+        F.col("centroid_id").isin(probes)
+    ).select("vec_id", F.col("v").alias("embedding"))
+    want = [(r["vec_id"], round(r["adc"], 9))
+            for r in pq_adc_topk(pq_encode(cand, books), books, q, k=10).collect()]
+    assert got == want and got
+    plan = idx.topk(q, k=10, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
