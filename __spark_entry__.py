@@ -1309,6 +1309,79 @@ def _hybrid_oracle() -> str:
     """
 
 
+PR_ITERS, PR_DAMP = 10, 0.85
+
+
+def q_pagerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a deterministic synthetic link
+    graph (testdata has no link column: every doc links to
+    (doc_id*7+j) % N for j in 1..3 — every node has out-degree 3, so
+    the dangling term is exactly zero and both engines compute the
+    same closed iteration).  Fixed 10 power-iteration rounds at
+    damping 0.85 — the crawl-prioritization / quality-prior operator
+    (operators/graph.py pagerank: one dst-keyed shuffle per round,
+    localCheckpoint-bounded lineage).  Twin: the identical iteration
+    unrolled as 10 chained CTEs."""
+    from docs_indexer_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+    )
+    ranks = pagerank(
+        edges,
+        n_iter=PR_ITERS,
+        damping=PR_DAMP,
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(30)
+    )
+
+
+def _pagerank_oracle() -> str:
+    blocks = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "edges AS (SELECT doc_id AS src, "
+        "(doc_id * 7 + j) % (SELECT n FROM nn) AS dst "
+        "FROM documents, unnest([1,2,3]) t(j))",
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY 1)",
+        "pr0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS r "
+        "FROM nodes)",
+    ]
+    for i in range(PR_ITERS):
+        blocks.append(
+            f"""pr{i + 1} AS (
+          SELECT nd.node,
+                 (1.0::DOUBLE - {PR_DAMP}::DOUBLE) / (SELECT n FROM nn)
+                 + {PR_DAMP}::DOUBLE * COALESCE(s.contrib, 0.0::DOUBLE) AS r
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r / dg.outd) AS contrib
+            FROM pr{i} p
+            JOIN edges e ON p.node = e.src
+            JOIN deg dg ON e.src = dg.src
+            GROUP BY 1
+          ) s ON nd.node = s.node
+        )"""
+        )
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"""
+    SELECT node, round(r, 6) AS rank
+    FROM pr{PR_ITERS}
+    ORDER BY round(r, 6) DESC, node LIMIT 30
+    """
+    )
+
+
 PQ_M, PQ_KS, PQ_SEED = 8, 16, 9
 _PQ_BOOKS_CACHE = None
 
@@ -2253,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_most_fields_topk": q_bm25_most_fields_topk,
         "c4_page_filter": q_c4_page_filter,
         "ann_pq_adc_topk": q_ann_pq_adc_topk,
+        "pagerank_topn": q_pagerank_topn,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2735,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_most_fields_topk": _most_fields_oracle(),
         "c4_page_filter": _C4_ORACLE_SQL,
         "ann_pq_adc_topk": _pq_oracle_sql(),
+        "pagerank_topn": _pagerank_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

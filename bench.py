@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_trained",
     "ann_pq_adc_topk",
+    "pagerank_topn",
     "embedding_near_dups",
     "highlight_snippets",
     "highlight_fragments",
