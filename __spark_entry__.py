@@ -1309,6 +1309,56 @@ def _hybrid_oracle() -> str:
     """
 
 
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms aggregation (OpenSearch JLH): terms unusually
+    frequent in the FILTER_PRED foreground vs the whole corpus — the
+    "what is unusual about these hits" facet.  One corpus pass: per-doc
+    fg flag + per-doc-distinct token explode + a single term-keyed
+    aggregate counting both dfs (operators/aggregations.py)."""
+    from docs_indexer_spark.operators.aggregations import significant_terms
+
+    out = significant_terms(_docs(spark, sf_dir), FILTER_PRED, k=20)
+    return out.select(
+        "term", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh")
+    )
+
+
+_SIGTERMS_ORACLE_SQL = None  # built lazily below (needs FILTER_PRED)
+
+
+def _sigterms_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {FILTER_PRED} THEN 1 ELSE 0 END AS fg,
+             {TOKS} AS t
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n, sum(fg) AS n_fg FROM d),
+    per_doc AS (
+      SELECT fg, unnest(list_distinct(t)) AS term FROM d
+    ),
+    counts AS (
+      SELECT term, count(*) AS bg_df, sum(fg) AS fg_df
+      FROM per_doc GROUP BY 1
+    ),
+    scored AS (
+      SELECT term, fg_df, bg_df,
+             ((fg_df / (SELECT n_fg::DOUBLE FROM tot))
+              - (bg_df / (SELECT n::DOUBLE FROM tot)))
+             * ((fg_df / (SELECT n_fg::DOUBLE FROM tot))
+                / (bg_df / (SELECT n::DOUBLE FROM tot))) AS jlh
+      FROM counts
+      WHERE fg_df >= 3
+        AND fg_df / (SELECT n_fg::DOUBLE FROM tot)
+            > bg_df / (SELECT n::DOUBLE FROM tot)
+    )
+    SELECT term, CAST(fg_df AS BIGINT) AS fg_df, bg_df,
+           round(jlh, 6) AS jlh
+    FROM scored ORDER BY jlh DESC, term LIMIT 20
+    """
+
+
 PR_ITERS, PR_DAMP = 10, 0.85
 
 
@@ -2327,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_page_filter": q_c4_page_filter,
         "ann_pq_adc_topk": q_ann_pq_adc_topk,
         "pagerank_topn": q_pagerank_topn,
+        "significant_terms": q_significant_terms,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2810,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_page_filter": _C4_ORACLE_SQL,
         "ann_pq_adc_topk": _pq_oracle_sql(),
         "pagerank_topn": _pagerank_oracle(),
+        "significant_terms": _sigterms_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

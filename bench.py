@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "ann_ivf_trained",
     "ann_pq_adc_topk",
     "pagerank_topn",
+    "significant_terms",
     "embedding_near_dups",
     "highlight_snippets",
     "highlight_fragments",

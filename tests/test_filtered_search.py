@@ -368,3 +368,25 @@ def test_search_hybrid_end_to_end(spark, corpus, tmp_path):
     hits = reader.search_hybrid(q, qv, idx, k=10, where=where).collect()
     assert hits and all(r["doc_id"] in ok for r in hits)
     reader.close()
+
+
+def test_significant_terms_planted_lift(spark):
+    """A term concentrated in the foreground must rank above uniformly
+    spread terms; below-min_doc_count terms are excluded."""
+    from docs_indexer_spark.operators.aggregations import significant_terms
+
+    rows = []
+    for i in range(40):
+        words = ["common", "filler"]
+        if i < 10:
+            words.append("anomaly")      # only in fg docs
+        if i in (0, 1):
+            words.append("rare")         # fg but below min_doc_count
+        rows.append((i, " ".join(words), "en" if i < 10 else "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["term"]: r for r in significant_terms(
+        docs, "lang = 'en'", min_doc_count=3, k=10
+    ).collect()}
+    assert "anomaly" in out and out["anomaly"]["fg_df"] == 10
+    assert "rare" not in out                      # min_doc_count
+    assert "common" not in out and "filler" not in out  # no lift
