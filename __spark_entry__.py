@@ -1309,6 +1309,55 @@ def _hybrid_oracle() -> str:
     """
 
 
+TV_DOC_ID = 42
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_termvectors API parity (OpenSearch GET /index/_termvectors with
+    term_statistics=true): one document's terms with in-doc tf and
+    corpus-wide df / ttf.  The corpus statistics come from the same
+    token relation an index publishes as df_stats — one explode + two
+    aggregates, term-keyed with map-side combine."""
+    from docs_indexer_spark.functions.analysis import tokens_col
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("ttf"),
+    )
+    doc = (
+        toks.filter(F.col("doc_id") == TV_DOC_ID)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        doc.join(stats, "term")
+        .select("term", "tf", "df", "ttf")
+        .orderBy("term")
+    )
+
+
+def _term_vectors_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKS}) AS term FROM documents
+    ),
+    stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+      FROM toks GROUP BY 1
+    ),
+    doc AS (
+      SELECT term, count(*) AS tf FROM toks
+      WHERE doc_id = {TV_DOC_ID} GROUP BY 1
+    )
+    SELECT term, tf, df, ttf
+    FROM doc JOIN stats USING (term)
+    ORDER BY term
+    """
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms aggregation (OpenSearch JLH): terms unusually
     frequent in the FILTER_PRED foreground vs the whole corpus — the
@@ -2378,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc_topk": q_ann_pq_adc_topk,
         "pagerank_topn": q_pagerank_topn,
         "significant_terms": q_significant_terms,
+        "term_vectors": q_term_vectors,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2862,6 +2912,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc_topk": _pq_oracle_sql(),
         "pagerank_topn": _pagerank_oracle(),
         "significant_terms": _sigterms_oracle(),
+        "term_vectors": _term_vectors_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

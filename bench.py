@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "ann_pq_adc_topk",
     "pagerank_topn",
     "significant_terms",
+    "term_vectors",
     "embedding_near_dups",
     "highlight_snippets",
     "highlight_fragments",
