@@ -1309,6 +1309,85 @@ def _hybrid_oracle() -> str:
     """
 
 
+def q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles aggregation (OpenSearch percentiles over a numeric
+    field, exact flavor): p25/p50/p95 of n_chars per lang bucket.
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition bit-for-bit (verified including the
+    float tail), so the twin is direct.  At 10^12 rows the production
+    path swaps in approx_percentile (t-digest) — the exact variant is
+    the oracle-able plane."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PCTL_ORACLE_SQL = """
+    SELECT lang, count(*) AS n,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+def q_collapse_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (OpenSearch ``collapse`` on a keyword field):
+    the flagship BM25 query returning only the BEST hit per ``source``
+    group — one result per site/feed, the dedup-at-serve-time shape.
+    Scored relation → per-group row_number over (score desc, doc_id) →
+    rank-1 rows → global top-k.  The window partitions by the collapse
+    key, so at scale it is one extra keyed shuffle over the (small)
+    scored candidate set, never the corpus."""
+    from pyspark.sql import Window
+
+    postings, doclens, n, avgdl = _stop_index(spark, sf_dir)
+    scored = bm25.score_from_tokens(
+        postings, doclens, n, avgdl, BM25_TERMS, k=1_000_000
+    )
+    with_src = scored.join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", F.round("score", 6).alias("score"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        with_src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _collapse_oracle() -> str:
+    bm25_sub = _bm25_oracle(f"p.term IN {_TERMS_SQL}", limit=1_000_000)
+    return f"""
+    WITH hits AS (
+      SELECT t.doc_id, d.source, t.score
+      FROM ({bm25_sub}) t JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id
+             ) AS rn
+      FROM hits
+    )
+    SELECT source, doc_id, score
+    FROM ranked WHERE rn = 1
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
 TV_DOC_ID = 42
 
 
@@ -2428,6 +2507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_topn": q_pagerank_topn,
         "significant_terms": q_significant_terms,
         "term_vectors": q_term_vectors,
+        "percentiles_agg": q_percentiles_agg,
+        "collapse_top_hits": q_collapse_top_hits,
         "dedup_components": q_dedup_components,
         "phrase_match": q_phrase_match,
         "phrase_match_blocks": q_phrase_match_blocks,
@@ -2913,6 +2994,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topn": _pagerank_oracle(),
         "significant_terms": _sigterms_oracle(),
         "term_vectors": _term_vectors_oracle(),
+        "percentiles_agg": _PCTL_ORACLE_SQL,
+        "collapse_top_hits": _collapse_oracle(),
         "dedup_components": _DEDUP_COMPONENTS_ORACLE_SQL,
         "phrase_match": _phrase_oracle(PHRASE),
         "phrase_match_blocks": _phrase_oracle(PHRASE),

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "pagerank_topn",
     "significant_terms",
     "term_vectors",
+    "percentiles_agg",
+    "collapse_top_hits",
     "embedding_near_dups",
     "highlight_snippets",
     "highlight_fragments",
