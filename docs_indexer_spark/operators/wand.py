@@ -166,7 +166,12 @@ class _TermList:
             self._load()
 
 
-def _drain_exact(lists: list, heap: list, k: int) -> None:
+def _drain_exact(
+    lists: list,
+    heap: list,
+    k: int,
+    after: "tuple[float, int] | None" = None,
+) -> None:
     """Exhaustively score every REMAINING posting of ``lists`` with one
     vectorized numpy pass, merging into the WAND heap — the escape hatch
     for the degenerate regime where every query term is a head term with
@@ -181,6 +186,12 @@ def _drain_exact(lists: list, heap: list, k: int) -> None:
     ≤ total, so it cannot displace a heap entry; fully-evaluated docs
     advanced every containing list past themselves, so they are never
     re-scored.  Result set is therefore identical to the pointer walk.
+
+    ``after`` (pagination cursor) masks accumulated totals to the
+    strictly-after set BEFORE the candidate cut.  A case-(b) partial
+    score that slips through the mask is still harmless: the drain only
+    runs with a full heap, so θ is the k-th QUALIFYING score and
+    partial < total < θ can never displace an entry.
     """
     ids_parts: list[np.ndarray] = []
     sc_parts: list[np.ndarray] = []
@@ -205,6 +216,12 @@ def _drain_exact(lists: list, heap: list, k: int) -> None:
     # scatter path on large inverse arrays — this IS the hot loop of the
     # degenerate (head-term) regime at 10M+ docs
     acc = np.bincount(inv, weights=sc, minlength=len(uniq))
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        keep = (acc < s0) | ((acc == s0) & (uniq > d0))
+        uniq, acc = uniq[keep], acc[keep]
+        if not len(uniq):
+            return
     if len(uniq) > 4 * k:
         # candidate cut before the heap loop — keep every doc scoring at
         # least the 4k-th value (ties INCLUDED, so the doc_id tie-break
@@ -226,12 +243,21 @@ def wand_topk_lists(
     k: int,
     allowed: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
+    after: "tuple[float, int] | None" = None,
 ) -> list[tuple[int, float]]:
     """Run block-max WAND over per-term block tables; returns
     [(doc_id, score)] sorted by (score desc, doc_id asc).  ``allowed``
     (sorted unique doc_ids) restricts scoring to a filter set;
     ``doc_range`` ([lo, hi)) restricts it to a doc_id slice — the
-    sub-bucket parallelism primitive."""
+    sub-bucket parallelism primitive.
+
+    ``after=(score, doc_id)`` — cursor pagination THROUGH WAND: a doc
+    at-or-before the cursor under the (score desc, doc_id asc) order is
+    simply not qualifying, so it is rejected at heap insertion; θ is
+    then the k-th QUALIFYING score, a valid pruning threshold (a block
+    whose upper bound is below it cannot contain a qualifying top-k
+    doc), so every skip stays exact.  Deep pages cost the same one
+    WAND pass as page 1 — no exhaustive re-scoring."""
     lists = [
         _TermList(blocks, idf[t], allowed=allowed, doc_range=doc_range)
         for t, blocks in term_blocks.items()
@@ -240,6 +266,11 @@ def wand_topk_lists(
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     evals = 0
     skips = 0
+    if after is not None:
+        a_s, a_d = float(after[0]), int(after[1])
+
+    def qualifies(score: float, doc: int) -> bool:
+        return after is None or score < a_s or (score == a_s and doc > a_d)
 
     def theta() -> float:
         return heap[0][0] if len(heap) >= k else float("-inf")
@@ -250,7 +281,7 @@ def wand_topk_lists(
         # (all-head-term query, uniform maxima) — switch this bucket to
         # one vectorized exact drain instead of a per-doc Python walk
         if evals >= 8192 and skips * 10 < evals and len(heap) >= k:
-            _drain_exact(lists, heap, k)
+            _drain_exact(lists, heap, k, after=after)
             break
         active = [l for l in lists if not l.exhausted]
         if not active:
@@ -299,11 +330,12 @@ def wand_topk_lists(
             for lst in active:
                 if lst.cur_doc == pivot_doc:
                     score += lst.cur_score
-            entry = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
+            if qualifies(score, pivot_doc):
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
             for lst in active:
                 if lst.cur_doc == pivot_doc:
                     lst.advance()
@@ -345,6 +377,7 @@ def wand_topk(
     k: int = DEFAULT_TOP_K,
     allowed: np.ndarray | None = None,
     split: int | str = 1,
+    after: "tuple[float, int] | None" = None,
 ) -> DataFrame:
     """Distributed block-max WAND: per-bucket WAND (exact within the
     bucket's doc range) → global TakeOrderedAndProject(k).
@@ -368,6 +401,10 @@ def wand_topk(
     overlap (≤ |terms|·(split−1) extra block decodes — noise).  Slice
     masks are applied at decode, so bounds stay valid upper bounds —
     the same exactness argument as the filter bitset.
+
+    ``after=(score, doc_id)`` — cursor pagination through WAND (see
+    :func:`wand_topk_lists`): each bucket/slice emits its qualifying
+    top-k, the global cut is unchanged.
 
     ``split="auto"`` sizes the slicing from the SAME metadata aggregate
     the slicer needs anyway: split = clamp(cores // n_buckets, 1, 8)
@@ -446,7 +483,7 @@ def wand_topk(
             rng = (lo + sub * w, lo + (sub + 1) * w)
             groups = {int(t): g for t, g in pdf.groupby("term_id")}
             top = wand_topk_lists(
-                groups, idf, k, allowed=allowed, doc_range=rng
+                groups, idf, k, allowed=allowed, doc_range=rng, after=after
             )
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top],
@@ -460,7 +497,7 @@ def wand_topk(
 
     def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = {int(t): g for t, g in pdf.groupby("term_id")}
-        top = wand_topk_lists(groups, idf, k, allowed=allowed)
+        top = wand_topk_lists(groups, idf, k, allowed=allowed, after=after)
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )

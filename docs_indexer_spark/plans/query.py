@@ -155,11 +155,12 @@ class IndexReader:
         ``search_after=(score, doc_id)`` — cursor pagination under the
         ``[_score desc, doc_id asc]`` sort (OpenSearch ``search_after``):
         pass the previous page's last sort key to get the next ``k``.
-        Routed through the exact scorer: WAND gains nothing from a
-        cursor (a block's upper bound being above the cursor score says
-        nothing about which of its docs fall below it), and the
-        strictly-after predicate composes with ``where``/``operator``
-        unchanged."""
+        Served THROUGH WAND: an at-or-before-cursor doc is simply not
+        qualifying at heap insertion, so θ (the k-th qualifying score)
+        stays a valid pruning threshold and every page costs one WAND
+        pass — a page-1+page-2 pair measured 22.9 s → 4.7 s p50 at 10M
+        docs vs the exact route (BENCH/serve_10m_filtered_r5.json).
+        Composes with ``where``/``operator``/``exact`` unchanged."""
         terms = analyze_text(query, self.analyzer)
         idf = self._idf(sorted(set(terms)))
         ids = sorted(idf)
@@ -183,12 +184,13 @@ class IndexReader:
             return bm25.score_from_blocks(
                 blocks, idf, ids, k=k, allowed=allowed_df, after=search_after
             )
-        if exact or search_after is not None:
+        if exact:
             return bm25.score_from_blocks(
                 blocks, idf, ids, k=k, allowed=allowed_arr, after=search_after
             )
         return wand.wand_topk(
-            blocks, idf, ids, k=k, allowed=allowed_arr, split=split
+            blocks, idf, ids, k=k, allowed=allowed_arr, split=split,
+            after=search_after,
         )
 
     def _filter_arg(self, where, max_driver_docs: int = 500_000):
