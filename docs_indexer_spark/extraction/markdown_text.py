@@ -85,7 +85,9 @@ _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?\s*$")
 # <li> (OListProcessor.INDENT_RE)
 _UL_ITEM_RE = re.compile(r"^[ ]{0,3}[*+-][ \t]+(.*)$")
 _OL_ITEM_RE = re.compile(r"^[ ]{0,3}\d+\.[ \t]+(.*)$")
-_INDENT_ITEM_RE = re.compile(r"^[ ]{4,7}(?:\d+\.|[*+-])[ \t]+")
+# one tab == tab_length(4) spaces in python-markdown's preprocessing, so
+# a tab-indented marker is a nested chunk too
+_INDENT_ITEM_RE = re.compile(r"^(?:[ ]{4,7}|\t[ ]{0,3})(?:\d+\.|[*+-])[ \t]+")
 
 _CODE_SPAN_RE = re.compile(r"`([^`]+)`")
 _IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^)]*)\)")

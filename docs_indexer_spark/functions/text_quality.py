@@ -8,6 +8,8 @@ oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from docs_indexer_spark.functions.analysis import ENGLISH_STOPWORDS
@@ -354,31 +356,33 @@ def dsir_log_weights(
             (h % B).alias("bucket"),
         )
 
-    t_dist = feats(target, False).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("tc")
+    # the two bucket distributions are n_buckets-row aggregates —
+    # COLLECT them (one corpus pass each, exactly once) and rebuild the
+    # log-ratio relation from the driver copies: leaving them as lazy
+    # relations would re-execute the corpus-sized feats() lineage a
+    # second time when the ratio join runs (the totals collect below
+    # would otherwise be that first execution, thrown away)
+    t_rows = (
+        feats(target, False).groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc")).collect()
     )
-    r_dist = feats(docs, False).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc")
+    r_rows = (
+        feats(docs, False).groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rc")).collect()
     )
-    # scalar totals — metadata-sized driver collects, like every other
-    # vocabulary/stats collect in this package
-    tt = t_dist.agg(F.sum("tc")).collect()[0][0] or 0
-    rt = r_dist.agg(F.sum("rc")).collect()[0][0] or 0
-    ratio = (
-        t_dist.join(r_dist, "bucket", "full_outer")
-        .select(
-            "bucket",
+    tc = {int(r["bucket"]): int(r["tc"]) for r in t_rows}
+    rc = {int(r["bucket"]): int(r["rc"]) for r in r_rows}
+    tt, rt = sum(tc.values()), sum(rc.values())
+    ratio = docs.sparkSession.createDataFrame(
+        [
             (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + alpha)
-                    / F.lit(float(tt) + alpha * B)
-                )
-                - F.log(
-                    (F.coalesce(F.col("rc"), F.lit(0)) + alpha)
-                    / F.lit(float(rt) + alpha * B)
-                )
-            ).alias("lw"),
-        )
+                b,
+                math.log((tc.get(b, 0) + alpha) / (float(tt) + alpha * B))
+                - math.log((rc.get(b, 0) + alpha) / (float(rt) + alpha * B)),
+            )
+            for b in sorted(set(tc) | set(rc))
+        ],
+        "bucket long, lw double",
     )
     return (
         feats(docs, True)

@@ -48,10 +48,14 @@ def canonical_url_col(col) -> Column:
     # 4. default ports (no lookahead: capture the tail instead)
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#].*)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#].*)", r"$1$2")
-    # 5. tracking params: mid-query ("par=v&"), then trailing ("par=v"),
-    #    then dangling separators
-    u = F.regexp_replace(u, _TRACK + r"=[^&]*&", "")
-    u = F.regexp_replace(u, _TRACK + r"=[^&]*", "")
+    # 5. tracking params — the name must follow a [?&] separator (an
+    #    unanchored pattern would also strip the tail of params that
+    #    merely END with a tracker name, e.g. "xgclid=5"), keeping the
+    #    separator; then collapse the separator debris the removals
+    #    leave behind ("?&&a" → "?a", "a=1&&" → "a=1&", trailing [?&])
+    u = F.regexp_replace(u, r"([?&])" + _TRACK + r"=[^&]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?&]+$", "")
     return u
 
@@ -64,14 +68,16 @@ CANONICAL_URL_SQL_STEPS = """
             regexp_replace(
               regexp_replace(
                 regexp_replace(
-                  lower(regexp_extract({u}, '(^[^/?#]*://[^/?#]*)', 1))
-                    || regexp_replace({u}, '^[^/?#]*://[^/?#]*', ''),
-                  '#.*$', ''),
-                '^(https?://)www\\.', '\\1'),
-              '^(http://[^/:?#]+):80($|[/?#].*)', '\\1\\2'),
-            '^(https://[^/:?#]+):443($|[/?#].*)', '\\1\\2'),
-          '(utm_[a-z0-9]+|gclid|fbclid)=[^&]*&', '', 'g'),
-        '(utm_[a-z0-9]+|gclid|fbclid)=[^&]*', '', 'g'),
+                  regexp_replace(
+                    lower(regexp_extract({u}, '(^[^/?#]*://[^/?#]*)', 1))
+                      || regexp_replace({u}, '^[^/?#]*://[^/?#]*', ''),
+                    '#.*$', ''),
+                  '^(https?://)www\\.', '\\1'),
+                '^(http://[^/:?#]+):80($|[/?#].*)', '\\1\\2'),
+              '^(https://[^/:?#]+):443($|[/?#].*)', '\\1\\2'),
+            '([?&])(utm_[a-z0-9]+|gclid|fbclid)=[^&]*', '\\1', 'g'),
+          '\\?&+', '?', 'g'),
+        '&&+', '&', 'g'),
       '[?&]+$', '')
 """
 """DuckDB twin of :func:`canonical_url_col` — format with ``u=<expr>``.

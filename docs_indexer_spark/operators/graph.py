@@ -77,4 +77,9 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint()
-    return ranks.select("node", F.col("r").alias("rank"))
+    # materialize the final ranks, then release the cached inputs — the
+    # same no-session-lifetime-leak contract pack_sequences follows
+    out = ranks.select("node", F.col("r").alias("rank")).localCheckpoint()
+    nodes.unpersist()
+    deg.unpersist()
+    return out

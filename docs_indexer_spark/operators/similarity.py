@@ -684,15 +684,20 @@ class IvfPqIndex:
         k: int = 10,
         nprobe: int = 4,
         id_col: str = "vec_id",
+        allowed: "DataFrame | None" = None,
     ) -> DataFrame:
         """Probe the nprobe nearest lists (partition-pruned scan of the
         CODES relation), ADC-score their candidates, top-k by
-        approximate inner product."""
+        approximate inner product.  ``allowed`` (a relation with an
+        ``id_col`` column) restricts candidates BEFORE the cut —
+        filter-then-rank, the same contract as :meth:`IvfIndex.topk`."""
         qv = np.asarray(query_vec, dtype=np.float64)
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         order = np.argsort(-(self.centroids @ qn))
         probes = [int(c) for c in order[:nprobe]]
         cand = self.codes.filter(F.col("centroid_id").isin(probes))
+        if allowed is not None:
+            cand = cand.join(allowed.select(id_col), id_col, "left_semi")
         return pq_adc_topk(
             cand.select(id_col, "codes"),
             self.codebooks,

@@ -359,15 +359,33 @@ def prune_blocks_by_allowed(
     allowed doc — vectorized searchsorted over block METADATA, no
     decode (the same containment primitive as phrase rarest-lead
     pruning).  With a selective filter most of a head term's blocks
-    disappear before any decompression happens."""
+    disappear before any decompression happens.
+
+    The predicate runs on a METADATA-ONLY projection so the compressed
+    posting binaries never cross the JVM↔Arrow boundary just to be
+    filtered (they used to round-trip through pandas twice — once here,
+    once in the decode kernel); the surviving keys broadcast back as a
+    left-semi join.  ``(term_id, first_doc_id)`` is a unique block key:
+    one term's block doc-ranges are pairwise disjoint (buckets are doc
+    ranges, blocks within a bucket are sequential slices)."""
+    from pyspark.sql.types import StructType
+
+    fields = {f.name: f for f in hit.schema.fields}
+    key_schema = StructType(
+        [fields["term_id"], fields["first_doc_id"]]
+    )
+    meta = hit.select("term_id", "first_doc_id", "last_doc_id")
 
     def _keep(pdfs):
         for pdf in pdfs:
             lo = np.searchsorted(allowed, pdf["first_doc_id"].values, "left")
             hi = np.searchsorted(allowed, pdf["last_doc_id"].values, "right")
-            yield pdf[hi > lo]
+            yield pdf[hi > lo][["term_id", "first_doc_id"]]
 
-    return hit.mapInPandas(_keep, schema=hit.schema)
+    keep = meta.mapInPandas(_keep, schema=key_schema)
+    return hit.join(
+        F.broadcast(keep), ["term_id", "first_doc_id"], "left_semi"
+    )
 
 
 def wand_topk(
@@ -466,10 +484,18 @@ def wand_topk(
             "bucket int, _lo long, _w long",
         )
         sliced = hit.join(F.broadcast(bdf), "bucket")
-        s_min = F.floor((F.col("first_doc_id") - F.col("_lo")) / F.col("_w"))
+        # INTEGER division, not float floor: doc_ids are 64-bit hashes,
+        # so (first_doc_id - _lo) can exceed 2^53 and a double-precision
+        # divide mis-assigns blocks near slice boundaries by hundreds of
+        # doc_ids — the kernel's doc_range mask is exact integer math,
+        # and a block dropped from the slice that integer-wise owns some
+        # of its docs silently loses those docs from the top-k.
+        # (Operands stay non-negative — _lo is the bucket's min
+        # first_doc_id — so DIV equals mathematical floor.)
+        s_min = F.expr("(first_doc_id - _lo) DIV _w")
         s_max = F.least(
-            F.floor((F.col("last_doc_id") - F.col("_lo")) / F.col("_w")),
-            F.lit(split - 1),
+            F.expr("(last_doc_id - _lo) DIV _w"),
+            F.lit(split - 1).cast("long"),
         )
         sliced = sliced.withColumn(
             "_sub",

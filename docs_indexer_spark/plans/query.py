@@ -107,14 +107,19 @@ class IndexReader:
             return None, None
         import numpy as np
 
-        pred = F.expr(where) if isinstance(where, str) else where
-        sel = self.docs_store().filter(pred).select("doc_id")
-        cnt = sel.count()
-        if cnt <= max_driver_docs:
-            arr = np.sort(
-                sel.toPandas()["doc_id"].to_numpy(dtype=np.int64)
-            )
-            return arr, None
+        if isinstance(where, DataFrame):
+            # pre-resolved doc_id relation (search_hybrid resolves the
+            # predicate ONCE and shares it across arms)
+            sel = where.select("doc_id")
+        else:
+            pred = F.expr(where) if isinstance(where, str) else where
+            sel = self.docs_store().filter(pred).select("doc_id")
+        # ONE scan decides selectivity AND yields the ids: limit(max+1)
+        # stops early on broad filters instead of counting the whole
+        # qualifying set and then scanning it a second time to collect
+        pdf = sel.limit(max_driver_docs + 1).toPandas()
+        if len(pdf) <= max_driver_docs:
+            return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64)), None
         return None, sel
 
     def search(
@@ -508,18 +513,26 @@ class IndexReader:
         sized happens after the arms."""
         from docs_indexer_spark.operators.similarity import rrf_fuse
 
-        text = self.search(query, k=k_arm, where=where).select(
+        allowed = None
+        text_where = where
+        if where is not None:
+            # resolve the predicate ONCE; both arms share the
+            # materialized doc_id set (localCheckpoint = no cache leak)
+            pred = F.expr(where) if isinstance(where, str) else where
+            flt = (
+                self.docs_store().filter(pred).select("doc_id")
+                .localCheckpoint()
+            )
+            text_where = flt
+            allowed = flt.select(F.col("doc_id").alias("vec_id"))
+        text = self.search(query, k=k_arm, where=text_where).select(
             "doc_id", "score"
         )
-        allowed = None
-        if where is not None:
-            pred = F.expr(where) if isinstance(where, str) else where
-            allowed = self.docs_store().filter(pred).select(
-                F.col("doc_id").alias("vec_id")
-            )
-        vec = ivf.topk(
-            query_vec, k=k_arm, nprobe=nprobe, allowed=allowed
-        ).select(F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
+        vec_top = ivf.topk(query_vec, k=k_arm, nprobe=nprobe, allowed=allowed)
+        score_col = vec_top.columns[1]  # "cosine" (IvfIndex) / "adc" (IvfPq)
+        vec = vec_top.select(
+            F.col("vec_id").alias("doc_id"), F.col(score_col).alias("score")
+        )
         return rrf_fuse([text, vec], k=k, c=c)
 
     def search_with_snippets(

@@ -129,7 +129,22 @@ def read_warc(
     ``text`` and ``lang`` are null (extraction is the pipeline's job —
     ``--extract-html`` / prepare_documents); ``warc_ts`` parses the
     record's WARC-Date (ISO-8601 Zulu).
+
+    Non-local schemes (s3a://, hdfs://, …): the Python worker has no
+    Hadoop client to open such paths directly, so those inputs fall
+    back to ``binaryFile`` CONTENT reads — the JVM's filesystem layer
+    handles any supported scheme, at the cost of whole-file buffering
+    per task and binaryFile's 2 GiB file cap (a Common Crawl segment is
+    ~1 GB gzipped, inside the cap).  Record-level streaming remains the
+    default for local/file: paths.
     """
+    from urllib.parse import urlparse as _urlparse
+
+    scheme = _urlparse(path).scheme
+    if scheme not in ("", "file"):
+        return _read_warc_content(
+            spark, path, max_batch_records, max_batch_bytes
+        )
     files = spark.read.format("binaryFile").load(path).select("path")
 
     def _flush(rows):
@@ -154,6 +169,51 @@ def read_warc(
                 rows: list[dict] = []
                 nbytes = 0
                 with open(local, "rb") as raw:
+                    for rec in parse_warc_stream(_open_warc(raw)):
+                        rows.append(rec)
+                        nbytes += len(rec["html"])
+                        if (
+                            len(rows) >= max_batch_records
+                            or nbytes >= max_batch_bytes
+                        ):
+                            yield _flush(rows)
+                            rows, nbytes = [], 0
+                if rows:
+                    yield _flush(rows)
+
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def _read_warc_content(
+    spark: SparkSession,
+    path: str,
+    max_batch_records: int,
+    max_batch_bytes: int,
+) -> DataFrame:
+    """Object-store fallback for :func:`read_warc`: the JVM materializes
+    each file's bytes (any Hadoop-supported scheme), the kernel still
+    yields bounded batches — peak memory is one file + one batch."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def _flush(rows):
+        import pandas as pd
+
+        out = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+        out["warc_ts"] = pd.to_datetime(
+            out["warc_ts"], errors="coerce", utc=True
+        ).dt.tz_localize(None)
+        out["text"] = None
+        out["lang"] = None
+        return out[["url", "warc_ts", "html", "text", "lang"]]
+
+    def parse(batches):
+        import io
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows: list[dict] = []
+                nbytes = 0
+                with io.BytesIO(bytes(content)) as raw:
                     for rec in parse_warc_stream(_open_warc(raw)):
                         rows.append(rec)
                         nbytes += len(rec["html"])

@@ -498,3 +498,13 @@ def test_markdown_list_lazy_item_continuation():
     html = markdown_to_html("- item\ncontinued text\n- second")
     assert "<li>item\ncontinued text</li>" in html
     assert "<li>second</li>" in html
+
+
+def test_markdown_tab_indented_nested_list():
+    """A tab-indented marker is a nested chunk (python-markdown expands
+    tab = 4 spaces before block parsing)."""
+    from docs_indexer_spark.extraction.markdown_text import markdown_to_html
+
+    html = markdown_to_html("- item\n\t- inner\n- second")
+    assert "<li>item<ul>" in html and "<li>inner</li>" in html
+    assert "<li>second</li>" in html

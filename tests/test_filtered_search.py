@@ -426,3 +426,45 @@ def test_search_after_wand_equals_exact(fused):
     assert [(r["doc_id"], round(r["score"], 9)) for r in p2_split] == [
         (r["doc_id"], round(r["score"], 9)) for r in full[10:20]
     ]
+
+
+def test_search_hybrid_accepts_ivfpq_index(spark, corpus, tmp_path):
+    """The documented 'IvfPqIndex-or-IvfIndex' contract: hybrid serving
+    must work with the PQ-codes index too, filtered and unfiltered."""
+    import numpy as np
+
+    from docs_indexer_spark.operators.similarity import (
+        IvfPqIndex,
+        ivf_centroids,
+        pq_train,
+    )
+    from docs_indexer_spark.plans.build_index import build_index
+    from docs_indexer_spark.plans.query import IndexReader
+    from docs_indexer_spark.sources.catalog import SnapshotCatalog
+
+    docs = corpus.filter(F.col("doc_id") % 3 == 0)
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    build_index(spark, docs, cat, fingerprint="f1", n_build_partitions=2,
+                analyzer="stop", id_col="doc_id")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(256).collect()],
+        dtype=np.float64,
+    )
+    idx = IvfPqIndex.build(
+        emb, ivf_centroids(64, 4, seed=7),
+        pq_train(sample, m=8, ks=16, iters=2, seed=5),
+        str(tmp_path / "ivfpq"),
+    )
+    reader = IndexReader(spark, cat)
+    q, qv = " ".join(TERMS), [1.0] * 64
+    hits = reader.search_hybrid(q, qv, idx, k=10, k_arm=15).collect()
+    assert hits and all(r["rrf_score"] > 0 for r in hits)
+    where = "n_chars >= 400"
+    ok = {
+        r["doc_id"]
+        for r in docs.filter(F.expr(where)).select("doc_id").collect()
+    }
+    fhits = reader.search_hybrid(q, qv, idx, k=10, where=where).collect()
+    assert fhits and all(r["doc_id"] in ok for r in fhits)
+    reader.close()

@@ -25,6 +25,12 @@ CASES = [
     ("https://ex.com/a?utm_a=1&utm_b=2", "https://ex.com/a"),
     ("https://ex.com/a?gclid=zz", "https://ex.com/a"),
     ("https://ex.com/a?a=1&fbclid=x&b=2", "https://ex.com/a?a=1&b=2"),
+    # a param whose name merely ENDS with a tracker name is preserved
+    ("https://ex.com/a?xgclid=5&b=2", "https://ex.com/a?xgclid=5&b=2"),
+    ("https://ex.com/a?myutm_src=1", "https://ex.com/a?myutm_src=1"),
+    # consecutive trackers, leading and mid-query
+    ("https://ex.com/a?utm_a=1&utm_b=2&id=3", "https://ex.com/a?id=3"),
+    ("https://ex.com/a?id=1&utm_a=1&utm_b=2", "https://ex.com/a?id=1"),
     # everything at once
     (
         "HTTP://WWW.Ex.COM:80/Docs/1?utm_source=feed&id=7#frag",
