@@ -238,6 +238,8 @@ def score_most_fields(
     TakeOrderedAndProject(k).  Everything stays term-filtered, so the
     union is O(Σ df(query term)) rows per field — query-sized, never
     corpus-sized."""
+    if not fields:
+        raise ValueError("score_most_fields: fields must be non-empty")
     terms = sorted(set(query_terms))
     parts = []
     for postings, doclens, n_docs, avgdl, boost in fields:

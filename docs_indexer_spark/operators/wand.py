@@ -469,6 +469,19 @@ def wand_topk(
                 if n_blocks >= 256
                 else 1
             )
+    if isinstance(split, int) and split > 1 and bounds:
+        # int64-overflow guard: a full-range xxhash64 doc-id bucket can
+        # span more than 2^63 — then (first_doc_id - _lo) and the slice
+        # width itself wrap in LongType (silently dropping blocks' docs
+        # from the top-k, or erroring under ANSI), and the kernel's
+        # numpy doc_range comparison overflows too.  Python ints are
+        # exact here, so detect and fall back to the unsliced plan.
+        _imax = (1 << 63) - 1
+        for r in bounds:
+            _lo, _hi = int(r["_lo"]), int(r["_hi"])
+            if _hi - _lo + split > _imax or _hi + split > _imax:
+                split = 1
+                break
     if split > 1:
         bdf = blocks.sparkSession.createDataFrame(
             [

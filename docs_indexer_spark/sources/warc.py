@@ -213,7 +213,10 @@ def _read_warc_content(
             for content in pdf["content"]:
                 rows: list[dict] = []
                 nbytes = 0
-                with io.BytesIO(bytes(content)) as raw:
+                # BufferedReader gives the stream a ``peek`` so _open_warc
+                # can sniff the gzip magic — a bare BytesIO has none and
+                # .warc.gz content would silently parse as zero records
+                with io.BufferedReader(io.BytesIO(bytes(content))) as raw:
                     for rec in parse_warc_stream(_open_warc(raw)):
                         rows.append(rec)
                         nbytes += len(rec["html"])

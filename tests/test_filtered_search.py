@@ -468,3 +468,33 @@ def test_search_hybrid_accepts_ivfpq_index(spark, corpus, tmp_path):
     fhits = reader.search_hybrid(q, qv, idx, k=10, where=where).collect()
     assert fhits and all(r["doc_id"] in ok for r in fhits)
     reader.close()
+
+
+def test_wand_split_overflow_guard_extreme_doc_ids(spark):
+    """A bucket whose doc-id span exceeds what int64 slice math can
+    represent (full-range xxhash64-style ids in ONE bucket) must fall
+    back to the unsliced plan instead of wrapping slice indices and
+    silently dropping blocks' documents from the top-k."""
+    imax = (1 << 63) - 1
+    rows = [
+        (-(1 << 62) * 2 + i, f"spark join window doc {i} alpha beta")
+        for i in range(6)
+    ] + [
+        (imax - 5 + i, f"spark join window doc tail {i} gamma")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fb = fused_build_blocks(
+        docs, analyzer="stop", n_buckets=1, norm_dtype=np.float64
+    )
+    idf = _idf_map(fb, TERMS)
+    base = wand.wand_topk(fb.blocks, idf, sorted(idf), k=10).collect()
+    for split in (2, 4, "auto"):
+        got = wand.wand_topk(
+            fb.blocks, idf, sorted(idf), k=10, split=split
+        ).collect()
+        rank_identical(
+            [(r["doc_id"], r["score"]) for r in base],
+            [(r["doc_id"], r["score"]) for r in got],
+        )
+    assert len(base) == 10

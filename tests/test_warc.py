@@ -113,3 +113,19 @@ def test_read_warc_streams_bounded_batches(spark, tmp_path):
         assert first["url"] == "https://ex.com/p0"
         assert raw.tell() < (d / "big.warc.gz").stat().st_size
         assert sum(1 for _ in it) == 24
+
+
+def test_content_fallback_reads_gzip(spark, tmp_path):
+    """The non-local-scheme fallback (_read_warc_content) parses GZIPPED
+    archives: the in-kernel stream must expose peek() so _open_warc can
+    sniff the gzip magic (a bare BytesIO silently yielded 0 records)."""
+    from docs_indexer_spark.sources.warc import _read_warc_content
+
+    d = tmp_path / "warcs_gz"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(write_warc(RECORDS, compress=True))
+    (d / "seg2.warc").write_bytes(write_warc(RECORDS[:1]))
+    df = _read_warc_content(spark, str(d), 1024, 32 << 20)
+    got = df.collect()
+    assert len(got) == 3
+    assert {r["url"] for r in got} == {r["url"] for r in RECORDS}
