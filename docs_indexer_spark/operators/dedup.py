@@ -792,11 +792,20 @@ def duplicate_substring_spans(
         F.col(id_col),
         F.posexplode(F.transform("_g", hfn)).alias("pos", "hv"),
     )
-    stats = wins.groupBy("hv").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
-    ).filter(F.col("_n") > 1)
-    dup = wins.join(stats, "hv")
+    # duplicate detection as a WINDOW over hv rather than an aggregate
+    # joined back: the join-back shape evaluated the whole tokenize →
+    # shingle → hash projection TWICE (once to build the stats side,
+    # once on the probe side — the two subtrees differ, so no exchange
+    # reuse is possible); the window costs one hv exchange and touches
+    # the heavy projection exactly once (guide §2.4).
+    w_hv = Window.partitionBy("hv")
+    enriched = wins.withColumn("_n", F.count(F.lit(1)).over(w_hv))
+    if keep_first:
+        enriched = enriched.withColumn(
+            "_first",
+            F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_hv),
+        )
+    dup = enriched.filter(F.col("_n") > 1)
     if keep_first:
         dup = dup.filter(
             (F.col(id_col) != F.col("_first")[id_col])

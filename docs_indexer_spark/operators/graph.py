@@ -27,6 +27,7 @@ def pagerank(
     damping: float = 0.85,
     nodes: DataFrame | None = None,
     checkpoint_every: int = 3,
+    broadcast_ranks_limit: int = 10_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank.
 
@@ -51,35 +52,66 @@ def pagerank(
         )
     nodes = nodes.select("node").persist()
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd")).persist()
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    # two loop-invariant relations, built once:
+    # - ew: edges pre-joined with out-degrees (the old plan re-joined
+    #   edges ⨝ deg every round);
+    # - nflag: every node with a has_out marker, so the per-round
+    #   dangling mass is a FILTERED SUM over the rank relation itself
+    #   instead of an anti-join against deg.
+    ew = edges.join(deg, "src").select("src", "dst", "outd").persist()
+    nflag = nodes.join(
+        ew.select(F.col("src").alias("node")).distinct()
+        .withColumn("_has_out", F.lit(True)),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("_has_out", F.lit(False)).alias("_has_out")
+    ).persist()
+    ranks = nflag.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     for i in range(n_iter):
+        # dangling mass stays a 1-row RELATION cross-joined into the
+        # round's plan instead of a driver collect: the old shape ran two
+        # jobs per round (a collect that re-executed the previous rounds'
+        # lineage, then the contribs round itself).  One eager
+        # localCheckpoint per round materializes everything exactly once
+        # and keeps each round's plan one join + one aggregate deep.
         dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-            .collect()[0][0]
+            ranks.filter(~F.col("_has_out"))
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_D"))
         )
+        # below the gate the rank relation (n rows of 16 B) broadcasts, so
+        # the round's only exchange is the dst-keyed aggregate; above it
+        # (web-scale graphs) the shuffle join is the right plan and AQE
+        # picks the strategy from real sizes.
+        rank_side = ranks.select(F.col("node").alias("src"), "r")
+        if n <= broadcast_ranks_limit:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            ew.join(rank_side, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("outd")).alias("contrib"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        new_ranks = nflag.join(contribs, "node", "left").crossJoin(
+            F.broadcast(dangling)
+        ).select(
             "node",
+            "_has_out",
             (
                 F.lit(base)
                 + damping
                 * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                   + F.lit(float(dangling) / n))
+                   + F.col("_D") / F.lit(float(n)))
             ).alias("r"),
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint()
-    # materialize the final ranks, then release the cached inputs — the
-    # same no-session-lifetime-leak contract pack_sequences follows
-    out = ranks.select("node", F.col("r").alias("rank")).localCheckpoint()
+        prev = ranks
+        ranks = new_ranks.localCheckpoint()
+        prev.unpersist()
+    # release the cached inputs — the same no-session-lifetime-leak
+    # contract pack_sequences follows
+    out = ranks.select("node", F.col("r").alias("rank"))
     nodes.unpersist()
-    deg.unpersist()
+    ew.unpersist()
+    nflag.unpersist()
     return out

@@ -316,10 +316,19 @@ class Suggester:
         docs: DataFrame,
         text_col: str = "text",
         max_edits: int = 2,
+        tables: "tuple[DataFrame, DataFrame] | None" = None,
     ):
+        """``tables`` = optional prebuilt, already-persisted
+        (vocabulary, bigram_table) pair — lets a caller that holds the LM
+        relations (perplexity scorer, bigram stats) share ONE build
+        instead of re-tokenizing the corpus per consumer."""
         self.max_edits = max_edits
-        self.vocab = vocabulary(docs, text_col).persist()
-        self.bigrams = bigram_table(docs, text_col).persist()
+        self._owns_tables = tables is None
+        if tables is not None:
+            self.vocab, self.bigrams = tables
+        else:
+            self.vocab = vocabulary(docs, text_col).persist()
+            self.bigrams = bigram_table(docs, text_col).persist()
         self.del_index = deletion_index(self.vocab, max_edits).persist()
         # vocabulary-sized aggregates, collected once
         row = self.vocab.agg(
@@ -333,7 +342,11 @@ class Suggester:
         self.bigrams.count()
 
     def close(self) -> None:
-        for df in (self.vocab, self.bigrams, self.del_index):
+        # caller-supplied LM tables stay persisted (the caller owns them)
+        own = (self.del_index,) + (
+            (self.vocab, self.bigrams) if self._owns_tables else ()
+        )
+        for df in own:
             df.unpersist()
 
     def suggest(

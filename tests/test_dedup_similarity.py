@@ -822,3 +822,31 @@ def test_ivf_pq_index_end_to_end(spark, tmp_path):
     assert got == want and got
     plan = idx.topk(q, k=10, nprobe=3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_lang_id_pred_identical_to_col(spark):
+    """The relational lang-ID shape (explode + broadcast marker join +
+    argmax) must predict exactly what the per-row HOF column does on the
+    real corpus — including zero-hit docs ('und') and cross-language
+    marker ties (alphabetical-language tie-break)."""
+    from docs_indexer_spark.functions.text_quality import (
+        lang_id_col,
+        lang_id_pred,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # add adversarial rows: empty, tie between de/nl ("de" marker is in
+    # both word sets), null text
+    extra = spark.createDataFrame(
+        [(9000001, ""), (9000002, "de de de"), (9000003, None)],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    col_rows = {
+        r["doc_id"]: r["p"]
+        for r in docs.select("doc_id", lang_id_col("text").alias("p")).collect()
+    }
+    rel_rows = {
+        r["doc_id"]: r["pred"] for r in lang_id_pred(docs).collect()
+    }
+    assert col_rows == rel_rows
