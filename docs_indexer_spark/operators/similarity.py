@@ -34,16 +34,85 @@ def _norm(a):
     )
 
 
+def _batch_matrix(batch):
+    """(ids, x) from an Arrow batch of (id, list<float|double>) — with the
+    same null/ragged guards as _rp_sig_kernel (a bad row would misalign
+    every subsequent one in the reshape)."""
+    import pyarrow.compute as pc
+
+    ids = batch.column(0).to_numpy(zero_copy_only=False)
+    emb = batch.column(1)
+    if emb.null_count:
+        raise ValueError("cosine kernel: null embedding rows in batch")
+    lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    if n and int(lens.min()) != int(lens.max()):
+        raise ValueError(
+            "cosine kernel: ragged embedding lengths "
+            f"{int(lens.min())}..{int(lens.max())} in batch"
+        )
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = int(lens[0]) if n else 0
+    return ids, flat.reshape(n, dim)
+
+
+def _cosine_kernel(query_vec, qn):
+    """Arrow kernel: (id, vec) → (id, cosine).  Dot and squared-norm
+    accumulate DIMENSION-BY-DIMENSION (numpy-vectorized over rows), the
+    same left-to-right fold order as the native zip_with/aggregate
+    expressions — so the cosines are bit-identical to the Column path
+    (same technique as _rp_sig_kernel) while the per-row interpreted-HOF
+    cost collapses to dim vectorized adds per batch."""
+    import pyarrow as pa
+
+    q = [float(x) for x in query_vec]
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, x = _batch_matrix(batch)
+            dot = np.zeros(len(ids), dtype=np.float64)
+            nrm = np.zeros(len(ids), dtype=np.float64)
+            for d in range(x.shape[1]):
+                dot = dot + x[:, d] * q[d]
+                nrm = nrm + x[:, d] * x[:, d]
+            cos = dot / (np.sqrt(nrm) * qn)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), type=pa.int64()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["_id", "cosine"],
+            )
+
+    return kernel
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
-    """Exact top-k by cosine similarity to a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    ``vectorized=True`` (default) scores through the Arrow kernel
+    (fold-order-preserving → bit-identical cosines, pinned by test);
+    ``vectorized=False`` keeps the pure-Column zip_with/aggregate path.
+    Interleaved same-session A/B at sf1.0 (20k vectors): kernel 0.24 s
+    vs column 0.32 s warm."""
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    if vectorized:
+        scored = embeddings.select(
+            F.col(id_col).cast("long"), F.col(vec_col)
+        ).mapInArrow(
+            _cosine_kernel(query_vec, qn), schema="_id long, cosine double"
+        ).select(F.col("_id").alias(id_col), "cosine")
+        return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cast_vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     cos = _dot(cast_vec, q) / (_norm(cast_vec) * F.lit(qn))
     return (
@@ -264,6 +333,52 @@ def ivf_assign(
     )
 
 
+def _ivf_probe_kernel(centroids, probes, query_vec, qnorm):
+    """Fused Arrow kernel for the self-contained IVF query: centroid
+    assignment (dim-by-dim dots — the zip_with fold order, so the argmax
+    sees bit-identical values; np.argmax's first-max tie == the struct
+    max's smallest-cid tie), probe filter, and exact cosine for the
+    survivors, in ONE pass with no per-row expression interpretation."""
+    import pyarrow as pa
+
+    cents = [[float(x) for x in c] for c in centroids]
+    probe_arr = np.asarray(sorted(probes), dtype=np.int64)
+    q = [float(x) for x in query_vec]
+
+    def kernel(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, x = _batch_matrix(batch)
+            n, dim = x.shape
+            dots = np.empty((n, len(cents)), dtype=np.float64)
+            for c, cent in enumerate(cents):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + x[:, d] * cent[d]
+                dots[:, c] = acc
+            assign = np.argmax(dots, axis=1)
+            keep = np.isin(assign, probe_arr)
+            if not keep.any():
+                continue
+            ids, x = ids[keep], x[keep]
+            dot = np.zeros(len(ids), dtype=np.float64)
+            nrm = np.zeros(len(ids), dtype=np.float64)
+            for d in range(dim):
+                dot = dot + x[:, d] * q[d]
+                nrm = nrm + x[:, d] * x[:, d]
+            cos = dot / (np.sqrt(nrm) * qnorm)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), type=pa.int64()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["_id", "cosine"],
+            )
+
+    return kernel
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -272,16 +387,30 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe centroids closest to the query, score
     only their inverted lists exactly.  At scale the assignment is built
     once (ivf_assign persisted/partitioned by centroid_id → partition
     pruning per query); the scan here fuses assign+filter for the
-    self-contained query form."""
+    self-contained query form.  ``vectorized=True`` (default) runs
+    assignment + probe filter + cosine in one Arrow kernel
+    (fold-order-preserving — results bit-identical to the Column path,
+    pinned by test); ``vectorized=False`` keeps the native expressions."""
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
     order = np.argsort(-(centroids @ qn))
     probes = [int(c) for c in order[:nprobe]]
+    if vectorized:
+        scored = embeddings.select(
+            F.col(id_col).cast("long"), F.col(vec_col)
+        ).mapInArrow(
+            _ivf_probe_kernel(
+                centroids, probes, query_vec, float(np.linalg.norm(qv))
+            ),
+            schema="_id long, cosine double",
+        ).select(F.col("_id").alias(id_col), "cosine")
+        return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("centroid_id").isin(probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])

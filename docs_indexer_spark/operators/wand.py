@@ -32,6 +32,16 @@ from docs_indexer_spark.operators.compression import (
 
 _EXHAUSTED = np.iinfo(np.int64).max
 
+# auto-split engages only when the query touches at least this many
+# blocks: a slice must amortize its own applyInPandas task (scheduling +
+# Arrow round-trip + boundary-block re-decode).  At block_size 128 this
+# is ≥512k postings across slices (≥64k per slice at the max split of 8).
+# Measured r6: at 50k docs (~500 hit blocks) slicing COST 2.4× vs the
+# unsliced plan (1.20 s vs 0.50 s warm); at 10M docs (~24k hit blocks,
+# r5) it buys ~2× (5.7 → 2.7 s p95) — so the threshold sits between the
+# two regimes, keyed on per-query block count, not corpus size.
+AUTO_SPLIT_MIN_BLOCKS = 4096
+
 
 def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     """Boolean membership of ``values`` in a SORTED unique array —
@@ -396,6 +406,8 @@ def wand_topk(
     allowed: np.ndarray | None = None,
     split: int | str = 1,
     after: "tuple[float, int] | None" = None,
+    est_n_blocks: int | None = None,
+    bounds_rows: "list[tuple[int, int, int]] | None" = None,
 ) -> DataFrame:
     """Distributed block-max WAND: per-bucket WAND (exact within the
     bucket's doc range) → global TakeOrderedAndProject(k).
@@ -427,9 +439,10 @@ def wand_topk(
     ``split="auto"`` sizes the slicing from the SAME metadata aggregate
     the slicer needs anyway: split = clamp(cores // n_buckets, 1, 8)
     when the query touches enough blocks to amortize a task per slice
-    (≥ 256 — ~32k postings at block_size 128), else 1.  A 10M-doc
-    index auto-bucketed at ~10 on 32 cores resolves to 3; a gate-sized
-    index resolves to 1 and takes the unsliced plan unchanged."""
+    (≥ AUTO_SPLIT_MIN_BLOCKS — see its comment for the measured
+    calibration), else 1.  A 10M-doc index auto-bucketed at ~10 on 32
+    cores resolves to 3; a gate-sized index resolves to 1 and takes the
+    unsliced plan unchanged."""
     terms = sorted(set(query_term_ids))
     if not terms:
         return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
@@ -447,7 +460,30 @@ def wand_topk(
         hit = prune_blocks_by_allowed(hit, allowed)
 
     bounds = None
-    if split == "auto" or (isinstance(split, int) and split > 1):
+    if (
+        split == "auto"
+        and est_n_blocks is not None
+        and bounds_rows is not None
+    ):
+        # serving fast path: the caller supplies a block-count ESTIMATE
+        # (derivable from the df_stats rows it already collected for idf)
+        # and per-bucket [lo, hi] bounds cached once per generation — so
+        # the auto decision runs NO per-query metadata job.  Slices then
+        # span full bucket ranges instead of the query's hit range; the
+        # doc_range mask keeps slicing exact, so this is purely a
+        # parallelism choice (split-invariance is pinned by tests).
+        cores = blocks.sparkSession.sparkContext.defaultParallelism
+        split = (
+            max(1, min(8, cores // max(1, len(bounds_rows))))
+            if est_n_blocks >= AUTO_SPLIT_MIN_BLOCKS
+            else 1
+        )
+        if split > 1:
+            bounds = [
+                {"bucket": int(b), "_lo": int(lo), "_hi": int(hi)}
+                for b, lo, hi in bounds_rows
+            ]
+    elif split == "auto" or (isinstance(split, int) and split > 1):
         bounds = (
             hit.groupBy("bucket")
             .agg(
@@ -466,7 +502,7 @@ def wand_topk(
             cores = blocks.sparkSession.sparkContext.defaultParallelism
             split = (
                 max(1, min(8, cores // len(bounds)))
-                if n_blocks >= 256
+                if n_blocks >= AUTO_SPLIT_MIN_BLOCKS
                 else 1
             )
     if isinstance(split, int) and split > 1 and bounds:

@@ -50,6 +50,10 @@ class IndexReader:
         self.df_stats = catalog.read_at(
             spark, self.gen_path, "df_stats.parquet"
         ).persist()
+        # per-bucket doc-id bounds, lazily cached once per generation —
+        # lets wand_topk's auto-split decide and slice with NO per-query
+        # block-metadata job (see _bucket_bounds)
+        self._bounds_cache: "list[tuple[int, int, int]] | None" = None
 
     def close(self) -> None:
         self.df_stats.unpersist()
@@ -71,18 +75,45 @@ class IndexReader:
         except (FileNotFoundError, ValueError):
             return self.blocks
 
-    def _idf(self, terms: list[str]) -> dict[int, float]:
-        """term strings → {term_id: idf} via the published df_stats table
-        (which carries the string↔id mapping; vocabulary-sized, filtered
-        to |query| rows before the collect)."""
+    def _idf_df(self, terms: list[str]):
+        """term strings → ({term_id: idf}, {term_id: df}) via the
+        published df_stats table (which carries the string↔id mapping;
+        vocabulary-sized, filtered to |query| rows before the collect).
+        The df map rides along so callers can estimate block counts
+        without another metadata job."""
         if not terms:
-            return {}
+            return {}, {}
         rows = self.df_stats.filter(F.col("term").isin(terms)).collect()
         n = self.n_docs
-        return {
+        idf = {
             int(r["term_id"]): math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
             for r in rows
         }
+        dfs = {int(r["term_id"]): int(r["df"]) for r in rows}
+        return idf, dfs
+
+    def _idf(self, terms: list[str]) -> dict[int, float]:
+        return self._idf_df(terms)[0]
+
+    def _bucket_bounds(self) -> "list[tuple[int, int, int]]":
+        """(bucket, min first_doc_id, max last_doc_id) over the WHOLE
+        generation, computed once and cached — the auto-split serving
+        fast path slices against these instead of aggregating the
+        query's hit blocks every request (one block-metadata job per
+        reader lifetime instead of per query)."""
+        if self._bounds_cache is None:
+            rows = (
+                self.blocks.groupBy("bucket")
+                .agg(
+                    F.min("first_doc_id").alias("lo"),
+                    F.max("last_doc_id").alias("hi"),
+                )
+                .collect()
+            )
+            self._bounds_cache = [
+                (int(r["bucket"]), int(r["lo"]), int(r["hi"])) for r in rows
+            ]
+        return self._bounds_cache
 
     def docs_store(self) -> DataFrame:
         """The pinned generation's document store (rendering + keyword/
@@ -167,7 +198,7 @@ class IndexReader:
         docs vs the exact route (BENCH/serve_10m_filtered_r5.json).
         Composes with ``where``/``operator``/``exact`` unchanged."""
         terms = analyze_text(query, self.analyzer)
-        idf = self._idf(sorted(set(terms)))
+        idf, dfs = self._idf_df(sorted(set(terms)))
         ids = sorted(idf)
         blocks = self._blocks_for(ids)
         allowed_arr, allowed_df = self._resolve_filter(
@@ -193,9 +224,21 @@ class IndexReader:
             return bm25.score_from_blocks(
                 blocks, idf, ids, k=k, allowed=allowed_arr, after=search_after
             )
+        # block-count estimate from the dfs already in hand: Σ ceil(df/B)
+        # undercounts only when a term's postings spread over many
+        # buckets, so pad by one bucket's worth of blocks per term —
+        # a perf-only decision either way (split never changes results)
+        fast = split == "auto" and allowed_arr is None
+        est = None
+        if fast:
+            bsz = int(self.meta["metrics"].get("block_size") or 128)
+            n_buckets = max(1, len(self._bucket_bounds()))
+            est = sum(-(-df // bsz) + n_buckets for df in dfs.values())
         return wand.wand_topk(
             blocks, idf, ids, k=k, allowed=allowed_arr, split=split,
             after=search_after,
+            est_n_blocks=est,
+            bounds_rows=self._bucket_bounds() if fast else None,
         )
 
     def _filter_arg(self, where, max_driver_docs: int = 500_000):

@@ -850,3 +850,29 @@ def test_lang_id_pred_identical_to_col(spark):
         r["doc_id"]: r["pred"] for r in lang_id_pred(docs).collect()
     }
     assert col_rows == rel_rows
+
+
+def test_cosine_and_ivf_vectorized_identical_to_column(spark):
+    """The Arrow cosine/IVF kernels accumulate dimension-by-dimension —
+    the same fold order as the native zip_with/aggregate expressions —
+    so scores (and therefore ranks) must be BIT-identical to the
+    pure-Column paths."""
+    from docs_indexer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [1.0 if i % 3 else -0.5 for i in range(64)]
+    a = cosine_topk(emb, q, k=25, vectorized=True).collect()
+    b = cosine_topk(emb, q, k=25, vectorized=False).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
+    cents = ivf_centroids(64, 8, 7)
+    a = ivf_topk(emb, q, cents, k=25, nprobe=3, vectorized=True).collect()
+    b = ivf_topk(emb, q, cents, k=25, nprobe=3, vectorized=False).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
