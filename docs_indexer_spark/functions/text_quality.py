@@ -396,13 +396,11 @@ def dsir_log_weights(
             *( [F.col(id_col)] if keep_id else [] ),
             tokens_col(text_col).alias("_toks"),
         )
+        from docs_indexer_spark.operators.dedup import _zip_grams
+
         toks = F.col("_toks")
         grams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.array_join(F.slice(toks, i, 2), " "),
-            ),
+            F.size(toks) >= 2, _zip_grams(toks, 2)
         ).otherwise(F.array().cast("array<string>"))
         rel = rel.select(
             *( [F.col(id_col)] if keep_id else [] ),

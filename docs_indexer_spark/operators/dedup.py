@@ -49,27 +49,44 @@ def exact_duplicates(
     )
 
 
+def _zip_grams(toks, n: int):
+    """Space-joined n-gram array via CHAINED zip_with over n shifted
+    slices — the same strings as array_join(slice(toks, i, n)) per
+    window (chained concat_ws(" ", acc, next) associates to the same
+    space-joined result), but ~1.3-1.8× faster measured at sf1.0 (n=2:
+    1.26 → 0.71 s, n=3: 2.01 → 1.51, n=8: 1.56 → 1.37): the per-window
+    slice allocation + join of the transform(sequence(...)) form costs
+    more than zip_with's columnar pairwise concats.  Valid only when
+    size(toks) >= n (slice length must stay positive) — callers guard."""
+    size = F.size(toks)
+    out_len = size - n + 1
+    acc = F.slice(toks, 1, out_len)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + j, out_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return acc
+
+
 def shingles_from_tokens(toks, n: int = 3):
     """n-word shingles as array<string> over an ALREADY-MATERIALIZED token
     array column.
 
     ``toks`` must be a plain column reference (an attribute), never an
-    inline tokenizer expression: the lambda body re-evaluates every outer
-    expression it references PER ELEMENT (higher-order functions run on the
-    interpreted eval path with no subexpression elimination), so an inline
-    ``tokens_col(text)`` here re-tokenizes the whole document once per
-    shingle — measured ~16 ms/doc instead of ~0.1 ms.  Use
+    inline tokenizer expression: the n slice() arguments (and HOF lambda
+    bodies) re-evaluate the expression they reference (no subexpression
+    elimination on the interpreted eval path), so an inline
+    ``tokens_col(text)`` here re-tokenizes the whole document several
+    times — measured ~16 ms/doc instead of ~0.1 ms.  Use
     :func:`with_word_shingles` to get the projection barriers right.
     """
     toks = F.col(toks) if isinstance(toks, str) else toks
     size = F.size(toks)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.when(size >= n, _zip_grams(toks, n)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
 
 
 def with_word_shingles(
@@ -204,6 +221,67 @@ def lsh_candidate_pairs(
     )
 
 
+def _simhash_list_kernel(batches):
+    """(doc_id, per-token hash ARRAY) rows → one (doc_id, simhash) row
+    per non-empty doc.  Docs arrive whole per row, so the per-doc bit
+    sums are one np.add.reduceat over the flattened hash stream — no
+    explode, no partition sort, no cross-batch carry (the win over
+    :func:`_simhash_bitcount_kernel`, kept below for the exploded-row
+    shape).  Rows are processed in bounded-token chunks so the
+    (tokens × 64) bit matrix never exceeds ~0.5 GB however many docs an
+    Arrow batch packs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    shifts = np.arange(64, dtype=np.uint64)
+    chunk_tokens = 1 << 20
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        ids = batch.column(0).to_numpy(zero_copy_only=False)
+        hs = batch.column(1)
+        lens = pc.list_value_length(hs).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat_all = hs.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ).view(np.uint64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        n_rows = len(ids)
+        r0 = 0
+        while r0 < n_rows:
+            r1 = r0 + 1
+            while r1 < n_rows and offs[r1 + 1] - offs[r0] <= chunk_tokens:
+                r1 += 1
+            sl = slice(int(offs[r0]), int(offs[r1]))
+            clens = lens[r0:r1]
+            keep = clens > 0
+            starts = (offs[r0:r1] - offs[r0])[keep]
+            if len(starts):
+                bits = (
+                    (flat_all[sl][:, None] >> shifts) & np.uint64(1)
+                ).astype(np.int64)
+                sums = np.add.reduceat(bits, starts, axis=0)
+                counts = clens[keep]
+                b = (sums * 2 > counts[:, None]).astype(np.uint64)
+                sim = (b << shifts).sum(axis=1, dtype=np.uint64).astype(
+                    np.int64
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            ids[r0:r1][keep].astype(np.int64),
+                            type=pa.int64(),
+                        ),
+                        pa.array(sim, type=pa.int64()),
+                    ],
+                    names=["_id", "simhash"],
+                )
+            r0 = r1
+
+
 def _simhash_bitcount_kernel(batches):
     """(doc_id, h) rows sorted by doc_id within the partition → one
     (doc_id, simhash) row per doc.  Vectorized per-bit majority count:
@@ -313,25 +391,33 @@ def simhash64(
     from docs_indexer_spark.functions.analysis import tokens_col
     from docs_indexer_spark.session import spread
 
+    if hash == "md5":
+        def hfn(tok):
+            md5 = F.md5(tok)
+            hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        def hfn(tok):
+            return F.xxhash64(tok)
+    if vectorized:
+        # hash per token inside the ARRAY (one transform HOF — the hash
+        # itself is JVM-native either way) and majority-count per doc in
+        # the list kernel: no explode, no partition sort, no cross-batch
+        # run carry.  Measured r6 at sf1.0: xx 1.03 → 0.76 s, md5
+        # 1.56 → 0.91 s vs the exploded-row kernel, bit-identical.
+        hl = spread(docs, key=id_col).select(
+            F.col(id_col).cast("long"),
+            F.transform(tokens_col(text_col), hfn).alias("_hs"),
+        )
+        out = hl.mapInArrow(
+            _simhash_list_kernel, schema="_id long, simhash long"
+        )
+        return out.select(F.col("_id").alias(id_col), "simhash")
     toks = spread(docs, key=id_col).select(
         id_col, F.explode(tokens_col(text_col)).alias("tok")
     )
-    if hash == "md5":
-        md5 = F.md5("tok")
-        hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-        hashed = toks.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
-    else:
-        hashed = toks.withColumn("h", F.xxhash64("tok"))
-    if vectorized:
-        out = (
-            hashed.select(F.col(id_col).cast("long"), "h")
-            .sortWithinPartitions(id_col)
-            .mapInArrow(
-                _simhash_bitcount_kernel, schema="_id long, simhash long"
-            )
-        )
-        return out.select(F.col("_id").alias(id_col), "simhash")
+    hashed = toks.withColumn("h", hfn(F.col("tok")))
     bit_sums = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -441,6 +527,69 @@ def ngram_jaccard(
     )
 
 
+def _winnow_min_kernel(window: int):
+    """Arrow kernel: (doc_id, hash array) → unique (doc_id, fp) rows.
+    The sliding-window minimum is ONE vectorized np.minimum reduction
+    over ``window`` shifted views of the flattened hash stream (per-doc
+    validity via the list offsets), replacing the interpreted
+    transform(sequence, array_min(slice)) HOF — O(n·w) expression
+    evaluations per document.  Output is per-doc deduped (np.unique), so
+    no downstream distinct is needed; integer mins are order-free, so
+    rows are identical to the HOF path (pinned by test)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            hs = batch.column(1)
+            if hs.null_count:
+                raise ValueError("winnow kernel: null hash rows in batch")
+            lens = pc.list_value_length(hs).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = hs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            n = len(flat)
+            w = window
+            if n >= w:
+                m = flat[: n - w + 1].copy()
+                for s in range(1, w):
+                    np.minimum(m, flat[s: n - w + 1 + s], out=m)
+            else:
+                m = np.empty(0, dtype=np.int64)
+            out_ids: list[np.ndarray] = []
+            out_fps: list[np.ndarray] = []
+            for r in range(len(ids)):
+                a, b = int(offs[r]), int(offs[r + 1])
+                ln = b - a
+                if ln <= 0:
+                    continue
+                if ln >= w:
+                    sel = m[a: b - w + 1]
+                else:
+                    sel = flat[a:b].min(keepdims=True)
+                u = np.unique(sel)
+                out_ids.append(np.full(len(u), ids[r], dtype=np.int64))
+                out_fps.append(u)
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_ids), type=pa.int64()),
+                        pa.array(np.concatenate(out_fps), type=pa.int64()),
+                    ],
+                    names=["_id", "fp"],
+                )
+
+    return kernel
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 3,
@@ -448,6 +597,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash: str = "xx",
+    vectorized: bool = True,
 ) -> DataFrame:
     """(doc_id, fp) — winnowing document fingerprints (Schleimer,
     Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
@@ -494,6 +644,17 @@ def winnow_fingerprints(
     hashed = toks_df.select(
         id_col, shingles_from_tokens(F.col("_toks"), k).alias("_sh")
     ).withColumn("_hs", F.transform("_sh", hfn))
+    if vectorized:
+        # sliding-min + per-doc dedupe in one Arrow kernel (docs arrive
+        # whole per row, so the kernel's per-doc unique IS the global
+        # (doc_id, fp) distinct — no shuffle needed for dedup)
+        return (
+            hashed.select(F.col(id_col).cast("long"), "_hs")
+            .mapInArrow(
+                _winnow_min_kernel(window), schema="_id long, fp long"
+            )
+            .select(F.col("_id").alias(id_col), "fp")
+        )
     hs = F.col("_hs")
     n_win = F.size(hs) - window + 1
     fps = F.when(
@@ -563,8 +724,8 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    changed = 0
-    for _ in range(max_iter):
+    changed = 1
+    for it in range(max_iter):
         nbr = (
             sym.join(
                 labels.select(
@@ -581,6 +742,12 @@ def connected_components(
             .agg(F.min("nbr_comp").alias("comp"))
             .localCheckpoint()
         )
+        if it == 0 and max_iter > 1:
+            # the first round ALWAYS changes a label on a non-empty
+            # graph (for any edge a < b, node b adopts a), so the
+            # convergence-check join is pure overhead here — skip it
+            labels = new_labels
+            continue
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
             .filter(F.col("comp") != F.col("old"))
@@ -871,11 +1038,7 @@ def ngram_contamination(
         )
         toks = F.col("_toks")
         g = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
+            F.size(toks) >= n, _zip_grams(toks, n)
         ).otherwise(F.array().cast("array<string>"))
         return rel.select(out, F.explode(g).alias("gram"))
 

@@ -876,3 +876,29 @@ def test_cosine_and_ivf_vectorized_identical_to_column(spark):
     assert [(r["vec_id"], r["cosine"]) for r in a] == [
         (r["vec_id"], r["cosine"]) for r in b
     ]
+
+
+def test_winnow_vectorized_identical_to_hof(spark):
+    """The Arrow sliding-min kernel must produce exactly the HOF path's
+    (doc_id, fp) set — including short docs (single global-min fp) and
+    both hash families."""
+    from docs_indexer_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9000001, "one two"), (9000002, "a b c d e f g"), (9000003, "x")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    for fam in ("md5", "xx"):
+        a = {
+            (r["doc_id"], r["fp"])
+            for r in winnow_fingerprints(docs, hash=fam, vectorized=True).collect()
+        }
+        b = {
+            (r["doc_id"], r["fp"])
+            for r in winnow_fingerprints(docs, hash=fam, vectorized=False).collect()
+        }
+        assert a == b and len(a) > 0
