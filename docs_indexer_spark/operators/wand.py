@@ -363,7 +363,7 @@ def wand_topk_lists(
 
 
 def prune_blocks_by_allowed(
-    hit: DataFrame, allowed: np.ndarray
+    hit: DataFrame, allowed: np.ndarray, allowed_bc=None
 ) -> DataFrame:
     """Drop blocks whose [first_doc_id, last_doc_id] range contains NO
     allowed doc — vectorized searchsorted over block METADATA, no
@@ -387,9 +387,13 @@ def prune_blocks_by_allowed(
     meta = hit.select("term_id", "first_doc_id", "last_doc_id")
 
     def _keep(pdfs):
+        # prefer the broadcast handle (one ship per executor) over the
+        # closure copy (one ship per task) when the caller provides it
+        arr = allowed_bc.value if allowed_bc is not None else allowed
+
         for pdf in pdfs:
-            lo = np.searchsorted(allowed, pdf["first_doc_id"].values, "left")
-            hi = np.searchsorted(allowed, pdf["last_doc_id"].values, "right")
+            lo = np.searchsorted(arr, pdf["first_doc_id"].values, "left")
+            hi = np.searchsorted(arr, pdf["last_doc_id"].values, "right")
             yield pdf[hi > lo][["term_id", "first_doc_id"]]
 
     keep = meta.mapInPandas(_keep, schema=key_schema)
@@ -446,18 +450,23 @@ def wand_topk(
     terms = sorted(set(query_term_ids))
     if not terms:
         return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
+    allowed_bc = None
     if allowed is not None:
         allowed = np.unique(np.asarray(allowed, dtype=np.int64))
         if len(allowed) == 0:
             return blocks.sparkSession.createDataFrame(
                 [], "doc_id long, score double"
             )
+        # ship the bitset as a BROADCAST, not a task closure: at 500k ids
+        # × split>1 the closure copy is ~4 MB serialized per task, the
+        # broadcast one ship per executor (r5 verdict minor #2)
+        allowed_bc = blocks.sparkSession.sparkContext.broadcast(allowed)
     hit = blocks.filter(F.col("term_id").isin(terms)).select(
         "term_id", "bucket", "block_seq", "first_doc_id", "last_doc_id",
         "max_score", "doc_ids_bin", "tf_norms_bin",
     )
     if allowed is not None:
-        hit = prune_blocks_by_allowed(hit, allowed)
+        hit = prune_blocks_by_allowed(hit, None, allowed_bc=allowed_bc)
 
     bounds = None
     if (
@@ -558,7 +567,9 @@ def wand_topk(
             rng = (lo + sub * w, lo + (sub + 1) * w)
             groups = {int(t): g for t, g in pdf.groupby("term_id")}
             top = wand_topk_lists(
-                groups, idf, k, allowed=allowed, doc_range=rng, after=after
+                groups, idf, k,
+                allowed=allowed_bc.value if allowed_bc is not None else None,
+                doc_range=rng, after=after,
             )
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top],
@@ -572,7 +583,11 @@ def wand_topk(
 
     def _per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = {int(t): g for t, g in pdf.groupby("term_id")}
-        top = wand_topk_lists(groups, idf, k, allowed=allowed, after=after)
+        top = wand_topk_lists(
+            groups, idf, k,
+            allowed=allowed_bc.value if allowed_bc is not None else None,
+            after=after,
+        )
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
