@@ -235,7 +235,12 @@ def _simhash_list_kernel(batches):
     import pyarrow.compute as pc
 
     shifts = np.arange(64, dtype=np.uint64)
-    chunk_tokens = 1 << 20
+    # 128k tokens/chunk → the (tokens × 64) int64 bit matrix stays ≤64 MB
+    # per concurrent task: at 32 local tasks a 1M-token chunk allocated
+    # 0.5 GB each (16 GB aggregate transient) and measured 2-4× slower
+    # late in a loaded bench run than this bound — vectorization is
+    # already fully amortized at 128k rows
+    chunk_tokens = 1 << 17
 
     for batch in batches:
         if batch.num_rows == 0:
