@@ -101,15 +101,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _fb_term_ids(spark, terms):
-    """term → term_id (= xxhash64(term), the build's dictionary hash)
-    via one 1-row JVM job, so no dictionary-relation scan runs inside a
-    probe (same technique q_phrase_match_blocks already used)."""
-    if not terms:
-        return {}
-    row = spark.range(1).select(
-        *[F.xxhash64(F.lit(t)).alias(f"t{i}") for i, t in enumerate(terms)]
-    ).collect()[0]
-    return {t: int(row[f"t{i}"]) for i, t in enumerate(terms)}
+    """term → term_id (= xxhash64(term), the build's dictionary hash),
+    computed DRIVER-SIDE with the bit-identical pure-Python XXH64
+    (functions/xxh.py, pinned against Spark over the corpus vocabulary)
+    — zero Spark jobs where a 1-row xxhash64(lit) job used to run per
+    probe."""
+    from docs_indexer_spark.functions.xxh import spark_xxhash64_str
+
+    return {t: spark_xxhash64_str(t) for t in terms}
 
 
 def _fb_idf(spark, fb, terms):

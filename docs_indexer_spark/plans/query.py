@@ -391,15 +391,16 @@ class IndexReader:
             )
         terms = [t for t, _ in terms_pos]
         offsets = [p for _, p in terms_pos]
-        # term_id = xxhash64(term): one trivial local job, no vocabulary
-        # scan per query; dfs come from the persisted df_stats relation
-        # (tiny filter-collect) so phrase_match_blocks runs no metadata
-        # job, early-outs on unindexed terms, and can decide
-        # rarest-lead pruning from real document frequencies
-        row = self.spark.range(1).select(
-            *[F.xxhash64(F.lit(t)).alias(f"t{i}") for i, t in enumerate(terms)]
-        ).collect()[0]
-        term_ids = [int(row[f"t{i}"]) for i in range(len(terms))]
+        # term_id = xxhash64(term), computed driver-side with the
+        # bit-identical pure-Python XXH64 (functions/xxh.py — pinned
+        # against Spark) so no per-query hashing job runs; dfs come from
+        # the persisted df_stats relation (tiny filter-collect) so
+        # phrase_match_blocks runs no metadata job, early-outs on
+        # unindexed terms, and can decide rarest-lead pruning from real
+        # document frequencies
+        from docs_indexer_spark.functions.xxh import spark_xxhash64_str
+
+        term_ids = [spark_xxhash64_str(t) for t in terms]
         term_dfs = {
             int(r["term_id"]): int(r["df"])
             for r in self.df_stats.filter(

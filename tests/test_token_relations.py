@@ -62,3 +62,30 @@ def test_stop_relations_match_simple_split(spark):
     terms = {r["term"] for r in postings.collect()}
     # simple split (SQL-parity): apostrophe breaks the token
     assert terms == {"quick", "don", "t", "brown", "fox"}
+
+
+def test_python_xxh64_matches_spark(spark):
+    """The driver-side XXH64 must equal Spark's xxhash64 bit-for-bit —
+    over the whole corpus vocabulary plus length/unicode edge cases —
+    because query paths hash terms to term_ids with it."""
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.functions.analysis import tokens_col
+    from docs_indexer_spark.functions.xxh import spark_xxhash64_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    vocab = [
+        r["t"]
+        for r in docs.select(
+            F.explode(tokens_col("text")).alias("t")
+        ).distinct().collect()
+    ]
+    edge = ["", "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh",
+            "x" * 31, "x" * 32, "x" * 33, "x" * 100,
+            "héllo wörld", "한국어 텍스트", "カタカナ", "混合 mixed 123"]
+    tests = vocab + edge
+    rows = spark.createDataFrame([(t,) for t in tests], "t string").select(
+        "t", F.xxhash64("t").alias("h")
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64_str(r["t"]) == r["h"], r["t"]
