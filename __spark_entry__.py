@@ -1254,9 +1254,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docs_indexer_spark.operators.dedup import winnow_fingerprints
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
-    return winnow_fingerprints(docs, k=3, window=4, hash="md5").orderBy(
-        "doc_id", "fp"
-    )
+    # 40-doc parity slice: the all-native HOF path beats the Arrow
+    # kernel's fixed Python-boundary cost at this size (the kernel wins
+    # from ~10k docs up — the production xx path keeps it)
+    return winnow_fingerprints(
+        docs, k=3, window=4, hash="md5", vectorized=False
+    ).orderBy("doc_id", "fp")
 
 
 # shared winnowing CTE chain (doc_id < 40 slice) — consumed by both the
@@ -2219,7 +2222,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
-    fps = winnow_fingerprints(docs, k=3, window=4, hash="md5")
+    # vectorized=False: tiny parity slice — see q_winnow_fingerprints
+    fps = winnow_fingerprints(
+        docs, k=3, window=4, hash="md5", vectorized=False
+    )
     pairs = winnow_candidate_pairs(fps).select("doc_a", "doc_b")
     return connected_components(pairs).orderBy("node")
 

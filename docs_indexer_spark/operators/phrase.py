@@ -85,20 +85,35 @@ def phrase_occurrences(
     """
     if not terms:
         raise ValueError("empty phrase")
-    parts = []
-    for i, t in enumerate(terms):
-        p = pos_postings.filter(F.col(term_col) == t).select(
-            F.col(id_col),
-            F.transform("positions", _shift(i)).alias(f"p{i}"),
-        )
-        parts.append(p)
-    joined = parts[0]
+    # one filtered pass + one doc-keyed conditional aggregate instead of
+    # a k−1 join chain: each join side re-evaluated the positional
+    # postings aggregate (the per-term filter is on the grouping column,
+    # so Catalyst pushes it BELOW the aggregate — once per side), and
+    # each join paid its own exchange.  first(when(term = tᵢ, ...)) is
+    # deterministic — postings hold one row per (term, doc); docs
+    # missing a term aggregate to NULL and drop (inner-join semantics).
+    flt = pos_postings.filter(F.col(term_col).isin(sorted(set(terms))))
+    aggs = [
+        F.first(
+            F.when(
+                F.col(term_col) == t,
+                F.transform("positions", _shift(i)),
+            ),
+            ignorenulls=True,
+        ).alias(f"p{i}")
+        for i, t in enumerate(terms)
+    ]
+    grouped = flt.groupBy(id_col).agg(*aggs)
+    present = None
     acc = F.col("p0")
-    for i in range(1, len(parts)):
-        joined = joined.join(parts[i], id_col)
-        acc = F.array_intersect(acc, F.col(f"p{i}"))
+    for i in range(len(terms)):
+        c = F.col(f"p{i}").isNotNull()
+        present = c if present is None else (present & c)
+        if i > 0:
+            acc = F.array_intersect(acc, F.col(f"p{i}"))
     return (
-        joined.select(F.col(id_col), acc.alias("_hits"))
+        grouped.filter(present)
+        .select(F.col(id_col), acc.alias("_hits"))
         .filter(F.size("_hits") > 0)
         .select(
             id_col,
@@ -216,27 +231,43 @@ def phrase_match_blocks(
             _keep_containing, schema=cand.schema
         )
         cand = others.unionByName(cand.filter(F.col("term_id") == rare))
-    decoded = decode_position_blocks(cand)
-    parts = []
-    for i, tid in enumerate(tids):
-        p = decoded.filter(F.col("term_id") == tid).select(
-            F.col(id_col),
-            F.transform("positions", _shift(offsets[i])).alias(f"p{i}"),
-        )
-        parts.append(p)
-    # ascending-df join order (intersection is commutative; _hits are
-    # phrase-start anchors regardless of order)
-    order = sorted(range(len(parts)), key=lambda i: nd[tids[i]])
-    joined = parts[order[0]]
+    # ONE decode pass + ONE doc-keyed aggregate instead of k−1 joins:
+    # the old per-term join chain both re-ran the (Catalyst-opaque)
+    # positional decode once per phrase term AND paid an exchange per
+    # join side.  Here every candidate block decodes exactly once and a
+    # conditional aggregate pivots each doc's per-term position arrays
+    # into one row — first(when(term_id = tᵢ, positions − offsetᵢ))
+    # is deterministic because decoded postings hold exactly one row per
+    # (term, doc).  Docs missing any phrase term aggregate to NULL for
+    # that slot and are dropped — inner-join semantics unchanged.
+    dec = decode_position_blocks(cand)
+    aggs = [
+        F.first(
+            F.when(
+                F.col("term_id") == F.lit(tids[i]),
+                F.transform("positions", _shift(offsets[i])),
+            ),
+            ignorenulls=True,
+        ).alias(f"p{i}")
+        for i in range(len(tids))
+    ]
+    grouped = dec.groupBy(id_col).agg(*aggs)
+    present = None
+    for i in range(len(tids)):
+        c = F.col(f"p{i}").isNotNull()
+        present = c if present is None else (present & c)
+    # ascending-df intersect order (commutative; _hits are phrase-start
+    # anchors regardless of order)
+    order = sorted(range(len(tids)), key=lambda i: nd[tids[i]])
     acc = F.col(f"p{order[0]}")
     for i in order[1:]:
-        joined = joined.join(parts[i], id_col)
         acc = F.array_intersect(acc, F.col(f"p{i}"))
     # _hits holds anchor positions shifted down by offsets[0]; add it back
     # so first_pos is the first matched term's ACTUAL stream position even
     # when the phrase starts with a filtered stopword (offsets[0] > 0).
     return (
-        joined.select(F.col(id_col), acc.alias("_hits"))
+        grouped.filter(present)
+        .select(F.col(id_col), acc.alias("_hits"))
         .filter(F.size("_hits") > 0)
         .select(
             id_col,
