@@ -205,12 +205,18 @@ def fused_build_blocks(
     # ---- the one data-sized pass ----
     if analyzer == "english":
         toks = _tokenize_col(F.col(text_col))
-        stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOPWORDS)])
+        # possessive-aware stopword test WITHOUT a per-token regexp:
+        # strip("'s$") ∈ STOP ⟺ token ∈ STOP ∪ {s+"'s" | s ∈ STOP} —
+        # precompute the 66-entry union once and test membership only
+        # (the regexp_replace ran interpreted per token occurrence; this
+        # dl filter touches every token of the corpus)
+        stop_plus = sorted(
+            ENGLISH_STOPWORDS | {w + "'s" for w in ENGLISH_STOPWORDS}
+        )
+        stop_arr = F.array(*[F.lit(w) for w in stop_plus])
         kept = F.filter(
             F.col("_toks"),
-            lambda tk: ~F.array_contains(
-                stop_arr, F.regexp_replace(tk, "'s$", "")
-            ),
+            lambda tk: ~F.array_contains(stop_arr, tk),
         )
     else:
         toks = tokens_col(text_col)
