@@ -2005,12 +2005,17 @@ def q_dsir_weights_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace-0.5 smoothing; the log-ratio relation broadcasts; the raw
     corpus is touched twice, each pass explode -> hash -> agg
     (functions/text_quality.py dsir_log_weights).  Top 30 by weight."""
-    from docs_indexer_spark.functions.text_quality import dsir_log_weights
+    # split form: target/raw are a predicate-partition of one table, so
+    # the corpus tokenizes ONCE for both distributions and the scorer
+    # (row-identical to the two-DataFrame form; pinned by test)
+    from docs_indexer_spark.functions.text_quality import (
+        dsir_log_weights_split,
+    )
 
     docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("doc_id") % 7 == 0)
-    raw = docs.filter(F.col("doc_id") % 7 != 0)
-    out = dsir_log_weights(raw, target, n_buckets=DSIR_B)
+    out = dsir_log_weights_split(
+        docs, F.col("doc_id") % 7 == 0, n_buckets=DSIR_B
+    )
     return (
         out.select(
             "doc_id", "n_features", F.round("log_weight", 6).alias("log_weight")

@@ -170,14 +170,29 @@ def lang_id_pred(docs, text_col: str = "text", id_col: str = "doc_id"):
         [(w, -i) for i, l in enumerate(langs) for w in LANG_MARKERS[l]],
         "tok string, ni int",
     )
-    hits = (
+    # ONE doc-keyed aggregate with per-language conditional counts
+    # (instead of a (doc, lang)-keyed count followed by a second doc
+    # aggregate — two exchanges for the price of one); a zero-hit
+    # language's h=0 entry can never win the argmax unless every count
+    # is zero, in which case the doc had no marker rows at all and never
+    # reaches this relation
+    counts = (
         docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
         .join(F.broadcast(markers), "tok")
-        .groupBy(id_col, "ni")
-        .agg(F.count(F.lit(1)).alias("h"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.count(F.when(F.col("ni") == -i, True)).alias(f"h{i}")
+                for i in range(len(langs))
+            ]
+        )
     )
-    best = hits.groupBy(id_col).agg(
-        F.max(F.struct(F.col("h"), F.col("ni"))).alias("b")
+    entries = [
+        F.struct(F.col(f"h{i}").alias("h"), F.lit(-i).alias("ni"))
+        for i in range(len(langs))
+    ]
+    best = counts.select(
+        F.col(id_col), F.array_max(F.array(*entries)).alias("b")
     )
     lang_lookup = F.array(*[F.lit(l) for l in langs])
     pred = F.element_at(lang_lookup, -F.col("b.ni") + 1)
@@ -449,6 +464,77 @@ def dsir_log_weights(
     )
     return (
         raw_feats
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lw").alias("log_weight"),
+        )
+    )
+
+
+def dsir_log_weights_split(
+    docs,
+    target_pred,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """:func:`dsir_log_weights` for the common case where target and raw
+    are a PREDICATE-partition of ONE relation: tokenize → bigram → hash
+    runs over the corpus exactly ONCE (flagged, checkpointed) and both
+    bucket distributions aggregate slices of that one materialization —
+    the two-DataFrame form pays a separate target pass.  Output is
+    row-identical to
+    ``dsir_log_weights(docs.filter(~pred), docs.filter(pred))``
+    (pinned by test)."""
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.functions.analysis import tokens_col
+    from docs_indexer_spark.operators.dedup import _zip_grams
+    from docs_indexer_spark.session import spread
+
+    B = n_buckets
+    pred = (
+        F.expr(target_pred) if isinstance(target_pred, str) else target_pred
+    )
+    rel = spread(docs).select(
+        F.col(id_col), pred.alias("_t"), tokens_col(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= 2, _zip_grams(toks, 2)
+    ).otherwise(F.array().cast("array<string>"))
+    rel = rel.select(id_col, "_t", F.explode(grams).alias("_g"))
+    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+    feats = rel.select(
+        id_col, "_t", (h % B).alias("bucket")
+    ).localCheckpoint()
+    t_rows = (
+        feats.filter(F.col("_t")).groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc")).collect()
+    )
+    r_rows = (
+        feats.filter(~F.col("_t")).groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rc")).collect()
+    )
+    tc = {int(r["bucket"]): int(r["tc"]) for r in t_rows}
+    rc = {int(r["bucket"]): int(r["rc"]) for r in r_rows}
+    tt, rt = sum(tc.values()), sum(rc.values())
+    ratio = docs.sparkSession.createDataFrame(
+        [
+            (
+                b,
+                math.log((tc.get(b, 0) + alpha) / (float(tt) + alpha * B))
+                - math.log((rc.get(b, 0) + alpha) / (float(rt) + alpha * B)),
+            )
+            for b in sorted(set(tc) | set(rc))
+        ],
+        "bucket long, lw double",
+    )
+    return (
+        feats.filter(~F.col("_t"))
         .join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(

@@ -902,3 +902,28 @@ def test_winnow_vectorized_identical_to_hof(spark):
             for r in winnow_fingerprints(docs, hash=fam, vectorized=False).collect()
         }
         assert a == b and len(a) > 0
+
+
+def test_dsir_split_identical_to_two_relation_form(spark):
+    """dsir_log_weights_split(docs, pred) must equal
+    dsir_log_weights(docs.filter(~pred), docs.filter(pred)) row for row."""
+    from pyspark.sql import functions as F
+
+    from docs_indexer_spark.functions.text_quality import (
+        dsir_log_weights,
+        dsir_log_weights_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pred = F.col("doc_id") % 7 == 0
+    a = {
+        (r["doc_id"], r["n_features"], round(r["log_weight"], 9))
+        for r in dsir_log_weights_split(docs, pred, n_buckets=256).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_features"], round(r["log_weight"], 9))
+        for r in dsir_log_weights(
+            docs.filter(~pred), docs.filter(pred), n_buckets=256
+        ).collect()
+    }
+    assert a == b and len(a) > 0
