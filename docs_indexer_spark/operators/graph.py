@@ -43,6 +43,12 @@ def pagerank(
         r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + D/N)
 
     where ``D`` is the total dangling mass of the previous round.
+
+    ``checkpoint_every`` is retained for API compatibility but inert:
+    every round now checkpoints eagerly (each round is exactly one job
+    and the previous round's blocks are freed immediately, which r6
+    measured strictly faster than batching checkpoints with driver-side
+    dangling collects between them).
     """
     if nodes is None:
         nodes = (
