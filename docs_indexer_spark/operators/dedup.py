@@ -150,18 +150,35 @@ def minhash_signatures(
     )
     sh = F.col("_sh")
 
+    # ONE traversal with a k-wide running minimum instead of k separate
+    # array_min(transform(...)) traversals: identical signatures (min of
+    # the same per-seed hash streams; pinned by the oracle rows), equal
+    # in the banding flow — but 10× faster when a consumer forces the
+    # WHOLE sig array in one expression (e.g. persisting signatures:
+    # 102 s → 10.9 s for a full-corpus sig materialization at sf1.0,
+    # where the k-traversal form re-walked the shingle array per entry).
     if hash == "md5":
-        def entry(seed: int):
-            return F.array_min(
-                F.transform(sh, lambda s: _h32(F.concat(F.lit(f"{seed}:"), s)))
+        def hashes(s):
+            return F.array(
+                *[
+                    _h32(F.concat(F.lit(f"{i}:"), s))
+                    for i in range(num_hashes)
+                ]
             )
     else:
-        def entry(seed: int):
-            return F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s))
+        def hashes(s):
+            return F.array(
+                *[F.xxhash64(F.lit(i), s) for i in range(num_hashes)]
             )
 
-    sig = F.array(*[entry(i) for i in range(num_hashes)])
+    start = F.array(
+        *[F.lit((1 << 63) - 1).cast("long") for _ in range(num_hashes)]
+    )
+    sig = F.aggregate(
+        F.transform(sh, hashes),
+        start,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
     return shingled.select(F.col(id_col), sig.alias("sig"))
 
 
